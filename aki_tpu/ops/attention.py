@@ -1,0 +1,127 @@
+"""Attention entry points: dense reference + dispatch to the Pallas kernel.
+
+``dense_attention`` is the numerics oracle: a straightforward
+softmax(QK^T/sqrt(d) + bias)V evaluated in fp32, with the MMA mask built
+from an :class:`~aki_tpu.ops.masks.MMASpec`.  It matches the reference's
+behavior (HF SDPA over the inverted 4D mask, ``src/vlm.py:410-443``) and is
+used by tests and as the fallback on CPU.
+
+``mma_attention`` dispatches to the Pallas flash kernel on TPU (static-shape
+friendly, never materializes the (T, T) mask in HBM) and to the dense path
+elsewhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .masks import MMASpec, allowed_mask
+
+
+def dense_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    spec: MMASpec | None = None,
+    kv_valid: jax.Array | None = None,
+    q_offset: jax.Array | int = 0,
+    causal: bool = True,
+    scale: float | None = None,
+    bias: jax.Array | None = None,
+) -> jax.Array:
+    """Reference multi-head attention.
+
+    Args:
+        q: (B, T, H, D)
+        k, v: (B, S, Hkv, D) — Hkv may divide H (GQA).
+        spec: MMA block spec; ``None`` with ``causal=True`` gives plain
+            causal, ``None`` with ``causal=False`` gives full attention.
+        kv_valid: (B, S) 0/1 key validity.
+        q_offset: absolute position of q[0] (scalar or (B,)) for decode.
+        bias: optional additive (B, 1or H, T, S) bias (e.g. for tests).
+
+    Returns:
+        (B, T, H, D) in q.dtype.
+    """
+    b, t, h, d = q.shape
+    s, hkv = k.shape[1], k.shape[2]
+    if scale is None:
+        scale = d ** -0.5
+    if hkv != h:
+        assert h % hkv == 0
+        k = jnp.repeat(k, h // hkv, axis=2)
+        v = jnp.repeat(v, h // hkv, axis=2)
+
+    logits = jnp.einsum(
+        "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+
+    if spec is not None:
+        ok = allowed_mask(spec, t, s, kv_valid, q_offset)[:, None]
+    elif causal:
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (b, t, s), 1)
+        q_pos = q_pos + jnp.broadcast_to(
+            jnp.asarray(q_offset, jnp.int32), (b,)
+        )[:, None, None]
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (b, t, s), 2)
+        ok = (k_pos <= q_pos)
+        if kv_valid is not None:
+            ok = ok & (kv_valid[:, None, :] != 0)
+        ok = ok[:, None]
+    else:
+        ok = jnp.ones((b, 1, t, s), dtype=bool)
+        if kv_valid is not None:
+            ok = ok & (kv_valid[:, None, None, :] != 0)
+
+    neg = jnp.finfo(jnp.float32).min
+    logits = jnp.where(ok, logits, neg)
+    # Rows with no valid key (fully padded queries) would softmax over all
+    # -inf; make them output zeros instead of NaN.
+    row_any = jnp.any(ok, axis=-1, keepdims=True)
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jnp.where(row_any, probs, 0.0)
+    out = jnp.einsum(
+        "bhts,bshd->bthd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.astype(q.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "scale", "use_flash", "block_q", "block_kv"),
+)
+def mma_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    spec: MMASpec | None = None,
+    kv_valid: jax.Array | None = None,
+    q_offset: jax.Array | int = 0,
+    causal: bool = True,
+    scale: float | None = None,
+    use_flash: bool | None = None,
+    block_q: int = 512,
+    block_kv: int = 512,
+) -> jax.Array:
+    """MMA attention — Pallas flash kernel on TPU, dense oracle elsewhere."""
+    if use_flash is None:
+        use_flash = jax.default_backend() == "tpu"
+    if use_flash:
+        from .flash_mma import flash_mma_attention
+
+        return flash_mma_attention(
+            q, k, v, spec=spec, kv_valid=kv_valid, q_offset=q_offset,
+            causal=causal, scale=scale, block_q=block_q, block_kv=block_kv,
+        )
+    return dense_attention(
+        q, k, v, spec=spec, kv_valid=kv_valid, q_offset=q_offset,
+        causal=causal, scale=scale,
+    )
