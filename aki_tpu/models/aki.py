@@ -1,0 +1,134 @@
+"""The AKI model: SigLIP -> Perceiver -> splice -> Phi-3 with MMA attention.
+
+Composition mirrors the reference 4-part VLM decomposition
+(``src/vlm.py:12-24``) and the AKI concrete class (``src/aki.py:9-134``):
+
+1. frozen SigLIP vision encoder (``stop_gradient`` — the functional analogue
+   of ``set_trainable``'s ``requires_grad_(False)``, ``src/aki.py:52-57``);
+2. Perceiver resampler to 144 vision tokens;
+3. fusion by splicing tokens into the language stream at the ``<image>``
+   position (static-shape gather, ``models/fusion.py``);
+4. Phi-3 decoder under the MMA block mask; loss is computed directly on the
+   spliced labels like the reference's loss path, which skips logit
+   re-collapse (``src/aki.py:113-134``).
+
+Everything here is pure-functional and jit/pjit-safe.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .common import Params, Policy
+from .configs import AKIConfig
+from .embeddings import decoupled_logits, decoupled_lookup, init_decoupled
+from .fusion import SplicedBatch, splice_vision_tokens
+from .perceiver import init_perceiver, perceiver_forward
+from .phi3 import KVCache, init_phi3, phi3_forward
+from .siglip import init_siglip, siglip_forward
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class AKIOutput:
+    logits: jax.Array            # (B, T_full, output_vocab) over spliced seq
+    loss: jax.Array | None       # scalar mean CE over non-ignored labels
+    spliced: SplicedBatch
+    cache: KVCache | None = None
+
+
+def init_aki(key, cfg: AKIConfig, dtype=jnp.float32) -> Params:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "siglip": init_siglip(k1, cfg.siglip, dtype),
+        "perceiver": init_perceiver(k2, cfg.perceiver, dtype),
+        "phi3": init_phi3(k3, cfg.phi3, dtype),
+        **init_decoupled(
+            k4, cfg.phi3.hidden_size, cfg.num_extra_tokens, cfg.phi3.vocab_size,
+            cfg.phi3.initializer_range, dtype,
+        ),
+    }
+
+
+def encode_vision(
+    params: Params, cfg: AKIConfig, images: jax.Array,
+    policy: Policy = Policy(),
+) -> jax.Array:
+    """Pixels -> vision tokens. (B, H, W, C) -> (B, n_vis, D_lm).
+
+    The encoder runs under ``stop_gradient`` (reference ``torch.no_grad``
+    at ``src/vlm.py:199``); the perceiver stays differentiable.
+    """
+    feats = siglip_forward(params["siglip"], cfg.siglip, images, policy)
+    feats = jax.lax.stop_gradient(feats)
+    return perceiver_forward(params["perceiver"], cfg.perceiver, feats, policy)
+
+
+def embed_text(params: Params, cfg: AKIConfig, ids: jax.Array,
+               policy: Policy = Policy()) -> jax.Array:
+    base = params["phi3"]["embed"]["table"].astype(policy.compute_dtype)
+    extra = params["extra_embed"]["table"].astype(policy.compute_dtype)
+    return decoupled_lookup(base, extra, ids, cfg.initial_tokenizer_len)
+
+
+def lm_logits(params: Params, cfg: AKIConfig, hidden: jax.Array,
+              policy: Policy = Policy()) -> jax.Array:
+    head = params["lm_head"]["w"].astype(policy.compute_dtype)
+    extra = params["extra_head"]["w"].astype(policy.compute_dtype)
+    return decoupled_logits(hidden, head, extra, cfg.initial_tokenizer_len)
+
+
+def next_token_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean shifted CE over labels != -100, fp32 (HF CausalLM loss)."""
+    shift_logits = logits[:, :-1].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != -100
+    safe = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    tok = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    total = jnp.sum(jnp.where(valid, -tok, 0.0))
+    count = jnp.maximum(jnp.sum(valid), 1)
+    return total / count
+
+
+def aki_forward(
+    params: Params,
+    cfg: AKIConfig,
+    input_ids: jax.Array,
+    images: jax.Array | None,
+    attn_valid: jax.Array,
+    labels: jax.Array | None = None,
+    policy: Policy = Policy(),
+    remat: bool = False,
+    use_flash: bool | None = None,
+    order: str = "image_first",
+    vision_tokens: jax.Array | None = None,
+) -> AKIOutput:
+    """Training/eval forward.
+
+    Args:
+        input_ids: (B, T_txt) with one ``<image>`` token per row.
+        images: (B, H, W, C) pixels (or None with ``vision_tokens`` given).
+        attn_valid: (B, T_txt) 0/1 right-padded text validity.
+        labels: optional (B, T_txt) with -100 on prompt/pad.
+        order: "image_first" (MMA) | "text_first" (DOT ablation).
+    """
+    if vision_tokens is None:
+        vision_tokens = encode_vision(params, cfg, images, policy)
+
+    text_embeds = embed_text(params, cfg, input_ids, policy)
+    sp = splice_vision_tokens(
+        text_embeds, vision_tokens, input_ids, attn_valid,
+        cfg.media_token_id, cfg.assistant_token_id, labels=labels, order=order,
+    )
+    hidden, _ = phi3_forward(
+        params["phi3"], cfg.phi3, sp.embeds, sp.positions,
+        spec=sp.spec, kv_valid=sp.attn_valid,
+        policy=policy, remat=remat, use_flash=use_flash,
+    )
+    logits = lm_logits(params, cfg, hidden, policy)
+    loss = next_token_loss(logits, sp.labels) if labels is not None else None
+    return AKIOutput(logits=logits, loss=loss, spliced=sp)

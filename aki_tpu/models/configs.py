@@ -1,0 +1,145 @@
+"""Model configurations.
+
+Full-size configs mirror the reference model card (AKI-4B =
+SigLIP-SO400M-patch14-384 + 144-latent Perceiver + Phi-3.5-mini-instruct,
+``configs/sft.yaml:42-45``, ``src/aki.py:40-43``); tiny configs are used by
+tests and the multi-chip dry run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from ..ops.rope import RopeConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class Phi3Config:
+    """Phi-3-family decoder (HF Phi3ForCausalLM geometry)."""
+
+    vocab_size: int = 32064          # padded embedding rows
+    hidden_size: int = 3072
+    intermediate_size: int = 8192
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    head_dim: int = 96
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    max_position_embeddings: int = 131072
+    original_max_position_embeddings: int = 4096
+    rope_short_factor: tuple[float, ...] | None = None
+    rope_long_factor: tuple[float, ...] | None = None
+    initializer_range: float = 0.02
+
+    @property
+    def rope(self) -> RopeConfig:
+        return RopeConfig(
+            head_dim=self.head_dim,
+            theta=self.rope_theta,
+            max_position_embeddings=self.max_position_embeddings,
+            original_max_position_embeddings=self.original_max_position_embeddings,
+            short_factor=self.rope_short_factor,
+            long_factor=self.rope_long_factor,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class SigLIPVisionConfig:
+    """SigLIP vision transformer (HF SiglipVisionModel geometry)."""
+
+    hidden_size: int = 1152
+    intermediate_size: int = 4304
+    num_layers: int = 27
+    num_heads: int = 16
+    image_size: int = 384
+    patch_size: int = 14
+    layer_norm_eps: float = 1e-6
+    num_channels: int = 3
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+@dataclasses.dataclass(frozen=True)
+class PerceiverConfig:
+    """Perceiver resampler (reference ``src/helpers.py:105-199``)."""
+
+    dim: int = 1152                  # incoming vision feature dim
+    dim_inner: int = 3072            # projection target (LM width)
+    depth: int = 6
+    dim_head: int = 64
+    heads: int = 8
+    num_latents: int = 144
+    ff_mult: int = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class AKIConfig:
+    """Full AKI model: vision encoder + resampler + decoder + decoupled vocab.
+
+    ``initial_tokenizer_len`` is the tokenizer size before adding the two
+    framework tokens ``<image>`` and ``<|endofchunk|>`` (reference
+    ``src/factory.py:140-150`` registers them without resizing the LM
+    embeddings; the decoupled modules route the new ids).
+    """
+
+    phi3: Phi3Config = Phi3Config()
+    siglip: SigLIPVisionConfig = SigLIPVisionConfig()
+    perceiver: PerceiverConfig = PerceiverConfig()
+    initial_tokenizer_len: int = 32011
+    num_extra_tokens: int = 2
+    pad_token_id: int = 32000        # <|endoftext|> used as pad
+    media_token_id: int = 32011      # <image>
+    end_of_chunk_token_id: int = 32012  # <|endofchunk|>
+    assistant_token_id: int = 32001  # <|assistant|> (vlm.py:492 hardcode)
+
+    @property
+    def output_vocab(self) -> int:
+        return self.initial_tokenizer_len + self.num_extra_tokens
+
+
+def aki_4b() -> AKIConfig:
+    """Released AKI-4B geometry (Sony/AKI-4B-phi-3.5-mini)."""
+    return AKIConfig()
+
+
+def aki_tiny(vocab: int = 128) -> AKIConfig:
+    """Tiny geometry for tests: same wiring, toy dims."""
+    phi3 = Phi3Config(
+        vocab_size=vocab,
+        hidden_size=64,
+        intermediate_size=128,
+        num_layers=2,
+        num_heads=4,
+        num_kv_heads=4,
+        head_dim=16,
+    )
+    siglip = SigLIPVisionConfig(
+        hidden_size=32,
+        intermediate_size=64,
+        num_layers=2,
+        num_heads=2,
+        image_size=28,
+        patch_size=14,
+    )
+    perceiver = PerceiverConfig(
+        dim=32, dim_inner=64, depth=2, dim_head=8, heads=2, num_latents=6,
+        ff_mult=2,
+    )
+    return AKIConfig(
+        phi3=phi3,
+        siglip=siglip,
+        perceiver=perceiver,
+        initial_tokenizer_len=vocab - 8,
+        num_extra_tokens=2,
+        pad_token_id=0,
+        media_token_id=vocab - 8,
+        end_of_chunk_token_id=vocab - 7,
+        assistant_token_id=vocab - 10,
+    )

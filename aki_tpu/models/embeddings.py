@@ -1,0 +1,63 @@
+"""Decoupled embedding + LM head for framework-added special tokens.
+
+Reproduces the reference's ``DecoupledEmbedding`` / ``DecoupledLinear``
+(``src/helpers.py:350-613``, from HF IDEFICS): the backbone's embedding
+table is left untouched (tokenizer growth never resizes it,
+``src/factory.py:140-150``); ids above ``max_original_id`` route to a small
+extra table, and the head truncates backbone logits to
+``initial_tokenizer_len`` before concatenating the extra columns — so output
+vocab is ``initial_tokenizer_len + num_extra``.
+
+On TPU this is a branchless ``jnp.where`` over two gathers and a fused
+concat-matmul — no Python routing.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .common import Params
+
+
+def init_decoupled(key, hidden: int, num_extra: int, vocab_size: int,
+                   initializer_range: float = 0.02, dtype=jnp.float32) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    s = initializer_range
+    return {
+        "extra_embed": {"table": jax.random.normal(k1, (num_extra, hidden), dtype) * s},
+        "lm_head": {"w": jax.random.normal(k2, (hidden, vocab_size), dtype) * s},
+        "extra_head": {"w": jax.random.normal(k3, (hidden, num_extra), dtype) * s},
+    }
+
+
+def decoupled_lookup(
+    base_table: jax.Array,
+    extra_table: jax.Array,
+    ids: jax.Array,
+    initial_tokenizer_len: int,
+) -> jax.Array:
+    """Embed ids; ids >= initial_tokenizer_len hit the extra table
+    (helpers.py:445-484)."""
+    is_extra = ids >= initial_tokenizer_len
+    base_ids = jnp.where(is_extra, 0, ids)
+    extra_ids = jnp.where(is_extra, ids - initial_tokenizer_len, 0)
+    base = jnp.take(base_table, base_ids, axis=0)
+    extra = jnp.take(extra_table, extra_ids, axis=0)
+    return jnp.where(is_extra[..., None], extra.astype(base.dtype), base)
+
+
+def decoupled_logits(
+    hidden: jax.Array,
+    head_w: jax.Array,
+    extra_w: jax.Array,
+    initial_tokenizer_len: int,
+) -> jax.Array:
+    """Logits over initial_tokenizer_len + num_extra ids (helpers.py:594-603).
+
+    The base head is truncated to the live vocab *before* the matmul — the
+    dead padded columns (32011..32063 for Phi-3.5) never cost FLOPs.
+    """
+    base = hidden @ head_w[:, :initial_tokenizer_len]
+    extra = hidden @ extra_w
+    return jnp.concatenate([base, extra], axis=-1)

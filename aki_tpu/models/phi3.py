@@ -1,0 +1,224 @@
+"""Phi-3-family decoder, TPU-first.
+
+Geometry and numerics match HF ``Phi3ForCausalLM`` (the reference's language
+backbone, ``src/factory.py:110-115``): RMSNorm, fused-equivalent QKV (stored
+split for clean tensor-parallel sharding), neox RoPE with optional LongRoPE
+factors, SiLU-gated MLP, residual adds in fp32 params / bf16 compute.
+
+TPU-first choices:
+
+- layers are **stacked** along a leading axis and executed with
+  ``jax.lax.scan`` — one compiled layer body regardless of depth, fast
+  compiles, natural ``jax.checkpoint`` boundary per layer;
+- attention masking is the :class:`~aki_tpu.ops.masks.MMASpec` contract —
+  never a dense (T, T) tensor in HBM (Pallas flash kernel on TPU);
+- the KV cache is a preallocated static-shape buffer written with per-sample
+  dynamic slices; decode attends over the full buffer under a validity mask
+  (the engine's analogue of the reference generation patch,
+  ``src/aki_generation.py:36-85``).
+
+The embedding table and LM head are *not* here — AKI decouples them
+(``models/embeddings.py``); this module consumes ``inputs_embeds`` like the
+reference's spliced forward (``src/aki.py:125-130``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import dense_attention
+from ..ops.masks import MMASpec
+from ..ops.rope import apply_rope, rope_cos_sin
+from .common import Params, Policy, rmsnorm
+from .configs import Phi3Config
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    """Per-layer stacked KV cache: (L, B, S, H_kv, D_head)."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @staticmethod
+    def create(cfg: Phi3Config, batch: int, max_len: int, dtype=jnp.bfloat16):
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+def init_phi3(key, cfg: Phi3Config, dtype=jnp.float32) -> Params:
+    """Stacked-layer params. Kernels are (in, out)."""
+    d, nh, nkv, dh = cfg.hidden_size, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    inter, L = cfg.intermediate_size, cfg.num_layers
+    ks = jax.random.split(key, 8)
+    s = cfg.initializer_range
+
+    def w(k, *shape):
+        return jax.random.normal(k, shape, dtype) * s
+
+    return {
+        "embed": {"table": w(ks[0], cfg.vocab_size, d)},
+        "layers": {
+            "ln1": {"scale": jnp.ones((L, d), dtype)},
+            "wq": w(ks[1], L, d, nh * dh),
+            "wk": w(ks[2], L, d, nkv * dh),
+            "wv": w(ks[3], L, d, nkv * dh),
+            "wo": w(ks[4], L, nh * dh, d),
+            "ln2": {"scale": jnp.ones((L, d), dtype)},
+            "w_gate": w(ks[5], L, d, inter),
+            "w_up": w(ks[6], L, d, inter),
+            "w_down": w(ks[7], L, inter, d),
+        },
+        "final_norm": {"scale": jnp.ones((d,), dtype)},
+    }
+
+
+def _write_cache(cache_kv: jax.Array, new_kv: jax.Array, index: jax.Array):
+    """Write (B, T, H, D) new entries into a (B, S, H, D) buffer at per-sample
+    start offsets ``index`` (B,)."""
+
+    def one(buf, new, i):
+        return jax.lax.dynamic_update_slice(buf, new.astype(buf.dtype), (i, 0, 0))
+
+    return jax.vmap(one)(cache_kv, new_kv, index)
+
+
+def _attention_layer(
+    x: jax.Array,
+    lp: Params,
+    cos: jax.Array,
+    sin: jax.Array,
+    cfg: Phi3Config,
+    spec: MMASpec | None,
+    kv_valid: jax.Array | None,
+    q_offset,
+    cache_k: jax.Array | None,
+    cache_v: jax.Array | None,
+    cache_index: jax.Array | None,
+    use_flash: bool,
+    eps: float,
+):
+    b, t, d = x.shape
+    nh, nkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    h = rmsnorm(lp["ln1"], x, eps)
+    q = (h @ lp["wq"]).reshape(b, t, nh, dh)
+    k = (h @ lp["wk"]).reshape(b, t, nkv, dh)
+    v = (h @ lp["wv"]).reshape(b, t, nkv, dh)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    new_cache = None
+    if cache_k is not None:
+        full_k = _write_cache(cache_k, k, cache_index)
+        full_v = _write_cache(cache_v, v, cache_index)
+        new_cache = (full_k, full_v)
+        k_att, v_att = full_k.astype(q.dtype), full_v.astype(q.dtype)
+    else:
+        k_att, v_att = k, v
+
+    if use_flash:
+        from ..ops.flash_mma import flash_mma_attention
+
+        attn = flash_mma_attention(
+            q, k_att, v_att, spec=spec, kv_valid=kv_valid, q_offset=q_offset
+        )
+    else:
+        attn = dense_attention(
+            q, k_att, v_att, spec=spec, kv_valid=kv_valid, q_offset=q_offset
+        )
+    out = attn.reshape(b, t, nh * dh) @ lp["wo"]
+    x = x + out
+
+    h2 = rmsnorm(lp["ln2"], x, eps)
+    gate = h2 @ lp["w_gate"]
+    up = h2 @ lp["w_up"]
+    mlp = (jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up) @ lp["w_down"]
+    return x + mlp, new_cache
+
+
+def phi3_forward(
+    params: Params,
+    cfg: Phi3Config,
+    inputs_embeds: jax.Array,
+    positions: jax.Array,
+    spec: MMASpec | None = None,
+    kv_valid: jax.Array | None = None,
+    q_offset: jax.Array | int = 0,
+    cache: KVCache | None = None,
+    cache_index: jax.Array | None = None,
+    policy: Policy = Policy(),
+    remat: bool = False,
+    use_flash: bool | None = None,
+) -> tuple[jax.Array, KVCache | None]:
+    """Run the decoder stack over ``inputs_embeds``.
+
+    Args:
+        inputs_embeds: (B, T, D) already-spliced embeddings.
+        positions: (B, T) absolute positions (includes vision tokens,
+            matching ``src/aki.py:184-191``).
+        spec: MMA block spec (None = causal).
+        kv_valid: validity over keys — (B, T) without cache, (B, S) over the
+            full cache buffer with cache.
+        q_offset: absolute position of the first query row (decode steps).
+        cache / cache_index: optional KV cache and per-sample write offsets.
+        remat: checkpoint each layer (reference activation checkpointing,
+            ``train/train.py:314-327``).
+
+    Returns:
+        (hidden_states (B, T, D) fp-compute, updated cache or None).
+    """
+    if use_flash is None:
+        use_flash = jax.default_backend() == "tpu"
+    x = inputs_embeds.astype(policy.compute_dtype)
+    cos, sin = rope_cos_sin(cfg.rope, positions)
+    eps = cfg.rms_norm_eps
+
+    layers = policy.cast(params["layers"])
+
+    def body(x, scanned):
+        lp, ck, cv = scanned
+        y, new_kv = _attention_layer(
+            x, lp, cos, sin, cfg, spec, kv_valid, q_offset,
+            ck, cv, cache_index, use_flash, eps,
+        )
+        return y, new_kv
+
+    if remat:
+        body = jax.checkpoint(
+            body, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        )
+
+    if cache is not None:
+        x, new_kvs = jax.lax.scan(
+            body, x, (layers, cache.k, cache.v)
+        )
+        new_cache = KVCache(k=new_kvs[0], v=new_kvs[1])
+    else:
+        def body_nocache(x, lp):
+            y, _ = _attention_layer(
+                x, lp, cos, sin, cfg, spec, kv_valid, q_offset,
+                None, None, None, use_flash, eps,
+            )
+            return y, None
+
+        if remat:
+            body_nocache = jax.checkpoint(
+                body_nocache,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+        x, _ = jax.lax.scan(body_nocache, x, layers)
+        new_cache = None
+
+    x = rmsnorm(policy.cast(params["final_norm"]), x, eps)
+    return x, new_cache

@@ -1,0 +1,82 @@
+"""Rotary position embeddings with Phi-3.5 LongRoPE support.
+
+Matches HF's Phi-3 rotary implementation semantics (neox-style rotate-half
+over the full head dim).  LongRoPE rescales inverse frequencies by a
+per-frequency factor array and multiplies cos/sin by an attention scaling
+factor ``sqrt(1 + ln(s)/ln(orig_max))``; the short-factor branch applies for
+sequences within ``original_max_position_embeddings`` — always the case for
+AKI's <1k-token sequences.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class RopeConfig:
+    head_dim: int
+    theta: float = 10000.0
+    max_position_embeddings: int = 131072
+    original_max_position_embeddings: int = 4096
+    # LongRoPE per-frequency factors, length head_dim // 2 (None = plain RoPE)
+    short_factor: tuple[float, ...] | None = None
+    long_factor: tuple[float, ...] | None = None
+
+    @property
+    def attention_scaling(self) -> float:
+        if self.short_factor is None:
+            return 1.0
+        scale = self.max_position_embeddings / self.original_max_position_embeddings
+        if scale <= 1.0:
+            return 1.0
+        import math
+
+        return math.sqrt(
+            1.0 + math.log(scale) / math.log(self.original_max_position_embeddings)
+        )
+
+
+def rope_cos_sin(cfg: RopeConfig, positions: jax.Array, long_context: bool = False):
+    """cos/sin tables for given positions.
+
+    Args:
+        positions: int array (..., T).
+    Returns:
+        (cos, sin) of shape (..., T, head_dim), fp32.
+    """
+    half = cfg.head_dim // 2
+    freqs = jnp.arange(0, half, dtype=jnp.float32)
+    inv_freq = 1.0 / (cfg.theta ** (2.0 * freqs / cfg.head_dim))
+    factor = cfg.long_factor if long_context else cfg.short_factor
+    if factor is not None:
+        inv_freq = inv_freq / jnp.asarray(factor, jnp.float32)
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., T, half)
+    angles = jnp.concatenate([angles, angles], axis=-1)  # (..., T, head_dim)
+    scaling = cfg.attention_scaling
+    return jnp.cos(angles) * scaling, jnp.sin(angles) * scaling
+
+
+def _rotate_half(x: jax.Array) -> jax.Array:
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Apply rotary embedding.
+
+    Args:
+        x: (B, T, H, D)
+        cos/sin: (B, T, D) or (T, D)
+    """
+    if cos.ndim == 2:
+        cos, sin = cos[None], sin[None]
+    cos = cos[:, :, None, :].astype(jnp.float32)
+    sin = sin[:, :, None, :].astype(jnp.float32)
+    x32 = x.astype(jnp.float32)
+    out = x32 * cos + _rotate_half(x32) * sin
+    return out.astype(x.dtype)

@@ -16,3 +16,9 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# fp32 oracles must not silently run bf16 matmuls (the production compute
+# path passes bf16 inputs explicitly, so this does not mask policy bugs).
+jax.config.update("jax_default_matmul_precision", "highest")

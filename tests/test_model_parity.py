@@ -1,0 +1,119 @@
+"""Numerics parity of our decoder/encoder vs HF reference modules (torch CPU).
+
+Random tiny-geometry HF models are converted with ``convert/torch_to_jax.py``
+and must produce the same outputs in fp32 — this pins RoPE, norm, QKV
+split, gelu flavors, and the conv->patchify refold.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from aki_tpu.convert.torch_to_jax import convert_phi3, convert_phi3_lm_head, convert_siglip
+from aki_tpu.models.common import F32
+from aki_tpu.models.configs import Phi3Config, SigLIPVisionConfig
+from aki_tpu.models.phi3 import phi3_forward
+from aki_tpu.models.siglip import siglip_forward
+
+
+def test_phi3_matches_hf():
+    from transformers import Phi3Config as HFPhi3Config
+    from transformers.models.phi3.modeling_phi3 import Phi3ForCausalLM
+
+    hf_cfg = HFPhi3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=512, rope_theta=10000.0,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    hf = Phi3ForCausalLM(hf_cfg).eval().float()
+
+    cfg = Phi3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=4, num_kv_heads=4, head_dim=16,
+    )
+    params = {
+        **convert_phi3(hf.state_dict(), cfg),
+    }
+
+    b, t = 2, 12
+    ids = np.random.RandomState(0).randint(0, 128, size=(b, t))
+    with torch.no_grad():
+        hf_out = hf(input_ids=torch.tensor(ids)).logits.numpy()
+
+    embeds = jnp.take(jnp.array(params["embed"]["table"]), jnp.array(ids), axis=0)
+    positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+    hidden, _ = phi3_forward(
+        params, cfg, embeds, positions, policy=F32, use_flash=False
+    )
+    logits = np.asarray(hidden @ jnp.array(convert_phi3_lm_head(hf.state_dict())))
+    np.testing.assert_allclose(logits, hf_out, rtol=2e-4, atol=2e-4)
+
+
+def test_phi3_longrope_matches_hf():
+    from transformers import Phi3Config as HFPhi3Config
+    from transformers.models.phi3.modeling_phi3 import Phi3ForCausalLM
+
+    short = [1.0 + 0.05 * i for i in range(8)]
+    long = [2.0 + 0.1 * i for i in range(8)]
+    hf_cfg = HFPhi3Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=4096, original_max_position_embeddings=256,
+        rope_theta=10000.0,
+        rope_scaling={"type": "longrope", "short_factor": short,
+                      "long_factor": long},
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(1)
+    hf = Phi3ForCausalLM(hf_cfg).eval().float()
+
+    cfg = Phi3Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=1,
+        num_heads=2, num_kv_heads=2, head_dim=16,
+        max_position_embeddings=4096, original_max_position_embeddings=256,
+        rope_short_factor=tuple(short), rope_long_factor=tuple(long),
+    )
+    params = convert_phi3(hf.state_dict(), cfg)
+
+    ids = np.random.RandomState(1).randint(0, 64, size=(1, 10))
+    with torch.no_grad():
+        hf_out = hf(input_ids=torch.tensor(ids)).logits.numpy()
+    embeds = jnp.take(jnp.array(params["embed"]["table"]), jnp.array(ids), axis=0)
+    positions = jnp.broadcast_to(jnp.arange(10), (1, 10))
+    hidden, _ = phi3_forward(params, cfg, embeds, positions, policy=F32, use_flash=False)
+    logits = np.asarray(hidden @ jnp.array(convert_phi3_lm_head(hf.state_dict())))
+    np.testing.assert_allclose(logits, hf_out, rtol=2e-4, atol=2e-4)
+
+
+def test_siglip_matches_hf():
+    from transformers import SiglipVisionConfig as HFSiglipVisionConfig
+    from transformers.models.siglip.modeling_siglip import SiglipVisionModel
+
+    hf_cfg = HFSiglipVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, image_size=28, patch_size=14,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    hf = SiglipVisionModel(hf_cfg).eval().float()
+
+    cfg = SigLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_layers=2, num_heads=2,
+        image_size=28, patch_size=14,
+    )
+    params = convert_siglip(hf.state_dict(), cfg)
+
+    imgs = np.random.RandomState(0).randn(2, 28, 28, 3).astype(np.float32)
+    with torch.no_grad():
+        hf_out = hf(
+            pixel_values=torch.tensor(imgs.transpose(0, 3, 1, 2))
+        ).last_hidden_state.numpy()
+
+    ours = np.asarray(siglip_forward(params, cfg, jnp.array(imgs), policy=F32))
+    np.testing.assert_allclose(ours, hf_out, rtol=2e-4, atol=2e-4)
