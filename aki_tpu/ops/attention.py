@@ -108,8 +108,8 @@ def mma_attention(
     causal: bool = True,
     scale: float | None = None,
     use_flash: bool | None = None,
-    block_q: int = 512,
-    block_kv: int = 512,
+    block_q: int = 1024,
+    block_kv: int = 1024,
 ) -> jax.Array:
     """MMA attention — Pallas flash kernel on TPU, dense oracle elsewhere."""
     if use_flash is None:

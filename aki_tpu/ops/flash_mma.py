@@ -1,0 +1,314 @@
+"""Pallas TPU flash attention with the modality-mutual (MMA) block mask.
+
+This is the TPU-native replacement for the reference's dense 4D mask + SDPA
+(``src/vlm.py:410-443``): the mask never exists in HBM.  Each (block_q,
+block_kv) tile evaluates the predicate
+
+    allowed = valid_k & ( k <= q  |  (img_start <= q < txt_start
+                                      & txt_start <= k < txt_end) )
+
+from three per-sample scalars (scalar-prefetched to SMEM), unioned over
+images for the multi-image case.  One kernel therefore serves the causal /
+DOT / MMA ablations (``BASELINE.json`` config #3) — causal is an empty
+block.
+
+Implementation: flash-attention-2 style online softmax.  Grid is
+``(B, H, num_q_blocks, num_kv_blocks)`` with the KV dimension innermost;
+running max / sum / accumulator live in VMEM scratch that persists across
+the sequential KV iterations.  KV tiles with no interaction for the current
+Q tile (beyond the causal frontier and outside the MMA block) are skipped
+with ``pl.when`` — the same block-sparsity the causal skip gives standard
+flash kernels, extended with the MMA rectangle.
+
+Backward: ``jax.custom_vjp`` with a rematerialized dense backward — exact
+same masked-softmax math, so gradients match the oracle bit-for-bit in
+fp32.  AKI sequences are short (~0.7k tokens spliced), so the O(T^2)
+backward logits are cheap; a flash backward kernel is a later optimization.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .masks import MMASpec
+
+NEG_INF = -1e30
+
+
+def _kernel(
+    # scalar prefetch (SMEM)
+    img_start_ref, txt_start_ref, txt_end_ref, q_offset_ref,
+    # inputs (VMEM tiles)
+    q_ref, k_ref, v_ref, kv_valid_ref,
+    # output
+    o_ref,
+    # scratch
+    m_scr, l_scr, acc_scr,
+    *,
+    scale: float,
+    block_q: int,
+    block_kv: int,
+    num_images: int,
+):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    kj = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    q_offset = q_offset_ref[b]
+    q_start = qi * block_q + q_offset      # absolute position of q row 0
+    k_start = kj * block_kv
+
+    @pl.when(kj == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # --- block-level relevance -------------------------------------------
+    # causal: the tile has any k <= q iff k_start <= q_last
+    causal_overlap = k_start <= q_start + (block_q - 1)
+    # MMA rectangles: q rows in [img_start, txt_start), k cols in
+    # [txt_start, txt_end) — overlap test per image, then OR.
+    mma_overlap = False
+    for n in range(num_images):
+        i0 = img_start_ref[b, n]
+        t0 = txt_start_ref[b, n]
+        t1 = txt_end_ref[b, n]
+        q_ov = (q_start < t0) & (q_start + block_q > i0)
+        k_ov = (k_start < t1) & (k_start + block_kv > t0)
+        mma_overlap = mma_overlap | (q_ov & k_ov)
+
+    @pl.when(causal_overlap | mma_overlap)
+    def _compute():
+        q = q_ref[0, 0]            # (block_q, d)
+        k = k_ref[0, 0]            # (block_kv, d)
+        v = v_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                  # (block_q, block_kv)
+
+        q_pos = q_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_kv), 0
+        )
+        k_pos = k_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_kv), 1
+        )
+        ok = k_pos <= q_pos
+        for n in range(num_images):
+            i0 = img_start_ref[b, n]
+            t0 = txt_start_ref[b, n]
+            t1 = txt_end_ref[b, n]
+            ok = ok | (
+                (q_pos >= i0) & (q_pos < t0) & (k_pos >= t0) & (k_pos < t1)
+            )
+        ok = ok & (kv_valid_ref[0] != 0)  # (1, block_kv) broadcasts over rows
+
+        s = jnp.where(ok, s, NEG_INF)
+        m_prev = m_scr[:, :1]                     # (block_q, 1)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        # fully-masked rows: m_new == NEG_INF -> exp(0) == 1 garbage; zero it
+        p = jnp.where(ok, p, 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(kj == nk - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
+def _normalize_spec(spec, batch):
+    if spec is None:
+        z = jnp.zeros((batch, 1), jnp.int32)
+        return z, z, z, 1
+    spec = spec.with_batch_dim()
+    return (
+        spec.img_start.astype(jnp.int32),
+        spec.txt_start.astype(jnp.int32),
+        spec.txt_end.astype(jnp.int32),
+        spec.img_start.shape[1],
+    )
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9)
+)
+def _flash(q, k, v, packed_spec, kv_valid_and_offset,
+           causal, scale, block_q, block_kv, interpret):
+    return _flash_fwd_impl(
+        q, k, v, packed_spec, kv_valid_and_offset,
+        causal, scale, block_q, block_kv, interpret,
+    )
+
+
+def _flash_fwd_impl(q, k, v, packed_spec, kv_valid_and_offset,
+                    causal, scale, block_q, block_kv, interpret):
+    img_start, txt_start, txt_end = packed_spec
+    kv_valid, q_offset = kv_valid_and_offset
+    b, t, h, d = q.shape
+    s_len, hkv = k.shape[1], k.shape[2]
+    assert h % hkv == 0
+    group = h // hkv
+    n_img = img_start.shape[1]
+
+    # Pad head dim to the 128-lane boundary and seq lens to block multiples.
+    d_pad = max(128, ((d + 127) // 128) * 128)
+    block_q = min(block_q, max(128, ((t + 127) // 128) * 128))
+    block_kv = min(block_kv, max(128, ((s_len + 127) // 128) * 128))
+    t_pad = ((t + block_q - 1) // block_q) * block_q
+    s_pad = ((s_len + block_kv - 1) // block_kv) * block_kv
+
+    qt = _pad_to(_pad_to(q, t_pad, 1), d_pad, 3).transpose(0, 2, 1, 3)
+    kt = _pad_to(_pad_to(k, s_pad, 1), d_pad, 3).transpose(0, 2, 1, 3)
+    vt = _pad_to(_pad_to(v, s_pad, 1), d_pad, 3).transpose(0, 2, 1, 3)
+    # (B, 1, S): middle dim full so the (1, 1, block_kv) block tiles legally
+    kv_valid_p = _pad_to(kv_valid.astype(jnp.int32), s_pad, 1)[:, None, :]
+
+    nq, nk = t_pad // block_q, s_pad // block_kv
+    grid = (b, h, nq, nk)
+
+    kernel = functools.partial(
+        _kernel, scale=scale, block_q=block_q, block_kv=block_kv,
+        num_images=n_img,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, block_q, d_pad),
+                    lambda bb, hh, qi, kj, *_: (bb, hh, qi, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_kv, d_pad),
+                    lambda bb, hh, qi, kj, *_, g=group: (bb, hh // g, kj, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_kv, d_pad),
+                    lambda bb, hh, qi, kj, *_, g=group: (bb, hh // g, kj, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_kv),
+                    lambda bb, hh, qi, kj, *_: (bb, 0, kj),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, block_q, d_pad),
+                lambda bb, hh, qi, kj, *_: (bb, hh, qi, 0),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, d_pad), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d_pad), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(img_start, txt_start, txt_end, q_offset.astype(jnp.int32),
+      qt, kt, vt, kv_valid_p)
+
+    return out.transpose(0, 2, 1, 3)[:, :t, :, :d]
+
+
+def _flash_fwd(q, k, v, packed_spec, kv_valid_and_offset,
+               causal, scale, block_q, block_kv, interpret):
+    out = _flash_fwd_impl(
+        q, k, v, packed_spec, kv_valid_and_offset,
+        causal, scale, block_q, block_kv, interpret,
+    )
+    return out, (q, k, v, packed_spec, kv_valid_and_offset)
+
+
+def _flash_bwd(causal, scale, block_q, block_kv, interpret, res, g):
+    from .attention import dense_attention
+
+    q, k, v, packed_spec, kv_valid_and_offset = res
+    img_start, txt_start, txt_end = packed_spec
+    kv_valid, q_offset = kv_valid_and_offset
+    spec = MMASpec(img_start=img_start, txt_start=txt_start, txt_end=txt_end)
+
+    def f(q_, k_, v_):
+        return dense_attention(
+            q_, k_, v_, spec=spec, kv_valid=kv_valid, q_offset=q_offset,
+            causal=causal, scale=scale,
+        )
+
+    _, vjp = jax.vjp(f, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None, None
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_mma_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    spec: MMASpec | None = None,
+    kv_valid: jax.Array | None = None,
+    q_offset: jax.Array | int = 0,
+    causal: bool = True,
+    scale: float | None = None,
+    block_q: int = 1024,
+    block_kv: int = 1024,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Flash MMA attention. Shapes as :func:`aki_tpu.ops.attention.dense_attention`.
+
+    Decode steps (q_len == 1) fall back to the dense path — a single-row
+    softmax is bandwidth-bound either way and needs no tiling.
+    """
+    from .attention import dense_attention
+
+    if not causal:
+        raise NotImplementedError("flash kernel is causal/MMA only")
+    b, t, h, d = q.shape
+    if t == 1:
+        return dense_attention(
+            q, k, v, spec=spec, kv_valid=kv_valid, q_offset=q_offset,
+            causal=causal, scale=scale,
+        )
+    if scale is None:
+        scale = d ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    img_start, txt_start, txt_end, _ = _normalize_spec(spec, b)
+    if kv_valid is None:
+        kv_valid = jnp.ones((b, k.shape[1]), jnp.int32)
+    q_offset = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (b,))
+    return _flash(
+        q, k, v, (img_start, txt_start, txt_end),
+        (kv_valid.astype(jnp.int32), q_offset),
+        causal, float(scale), int(block_q), int(block_kv), bool(interpret),
+    )

@@ -1,0 +1,119 @@
+"""Flash MMA kernel numerics vs the dense oracle (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aki_tpu.ops.attention import dense_attention
+from aki_tpu.ops.flash_mma import flash_mma_attention
+from aki_tpu.ops.masks import MMASpec, causal_spec
+
+
+def rand_qkv(rng, b, t, s, h, d, hkv=None):
+    hkv = hkv or h
+    q = jnp.array(rng.randn(b, t, h, d), jnp.float32)
+    k = jnp.array(rng.randn(b, s, hkv, d), jnp.float32)
+    v = jnp.array(rng.randn(b, s, hkv, d), jnp.float32)
+    return q, k, v
+
+
+def spec_for(b, rows):
+    a = np.array(rows, np.int32).reshape(b, -1, 3)
+    return MMASpec(
+        img_start=jnp.array(a[:, :, 0]),
+        txt_start=jnp.array(a[:, :, 1]),
+        txt_end=jnp.array(a[:, :, 2]),
+    )
+
+
+@pytest.mark.parametrize("t", [64, 130, 300])
+def test_flash_matches_dense_mma(t):
+    rng = np.random.RandomState(0)
+    b, h, d = 2, 2, 64
+    q, k, v = rand_qkv(rng, b, t, t, h, d)
+    spec = spec_for(b, [[5, 25, 40], [0, 30, 60]])
+    kv_valid = jnp.array(
+        np.concatenate([np.ones((b, t - 7)), np.zeros((b, 7))], 1), jnp.int32
+    )
+    got = flash_mma_attention(
+        q, k, v, spec=spec, kv_valid=kv_valid, interpret=True,
+        block_q=128, block_kv=128,
+    )
+    want = dense_attention(q, k, v, spec=spec, kv_valid=kv_valid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_flash_causal_only():
+    rng = np.random.RandomState(1)
+    q, k, v = rand_qkv(rng, 1, 200, 200, 4, 32)
+    got = flash_mma_attention(q, k, v, interpret=True, block_q=128, block_kv=128)
+    want = dense_attention(q, k, v, spec=causal_spec(1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_flash_gqa():
+    rng = np.random.RandomState(2)
+    q, k, v = rand_qkv(rng, 1, 150, 150, 8, 32, hkv=2)
+    spec = spec_for(1, [[10, 50, 90]])
+    got = flash_mma_attention(q, k, v, spec=spec, interpret=True,
+                              block_q=128, block_kv=128)
+    want = dense_attention(q, k, v, spec=spec)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_flash_multi_image_union():
+    rng = np.random.RandomState(3)
+    q, k, v = rand_qkv(rng, 1, 160, 160, 2, 32)
+    spec = spec_for(1, [[5, 20, 35], [80, 100, 140]])
+    got = flash_mma_attention(q, k, v, spec=spec, interpret=True,
+                              block_q=128, block_kv=128)
+    want = dense_attention(q, k, v, spec=spec)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_flash_head_dim_96():
+    """Phi-3's head_dim=96 exercises the lane-padding path."""
+    rng = np.random.RandomState(4)
+    q, k, v = rand_qkv(rng, 1, 140, 140, 2, 96)
+    spec = spec_for(1, [[3, 20, 50]])
+    got = flash_mma_attention(q, k, v, spec=spec, interpret=True,
+                              block_q=128, block_kv=128)
+    want = dense_attention(q, k, v, spec=spec)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_flash_grad_matches_dense():
+    rng = np.random.RandomState(5)
+    b, t, h, d = 1, 96, 2, 32
+    q, k, v = rand_qkv(rng, b, t, t, h, d)
+    spec = spec_for(b, [[4, 16, 30]])
+    kv_valid = jnp.ones((b, t), jnp.int32)
+
+    def loss_flash(q, k, v):
+        o = flash_mma_attention(q, k, v, spec=spec, kv_valid=kv_valid,
+                                interpret=True, block_q=128, block_kv=128)
+        return jnp.sum(o * o)
+
+    def loss_dense(q, k, v):
+        o = dense_attention(q, k, v, spec=spec, kv_valid=kv_valid)
+        return jnp.sum(o * o)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_decode_single_row_fallback():
+    rng = np.random.RandomState(6)
+    b, s, h, d = 2, 64, 2, 32
+    q, k, v = rand_qkv(rng, b, 1, s, h, d)
+    kv_valid = jnp.array(np.concatenate([np.ones((b, 40)), np.zeros((b, 24))], 1),
+                         jnp.int32)
+    got = flash_mma_attention(q, k, v, kv_valid=kv_valid,
+                              q_offset=jnp.array([39, 20]), interpret=True)
+    want = dense_attention(q, k, v, spec=causal_spec(b), kv_valid=kv_valid,
+                           q_offset=jnp.array([39, 20]))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
