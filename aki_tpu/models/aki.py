@@ -88,7 +88,9 @@ def next_token_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
     valid = shift_labels != -100
     safe = jnp.where(valid, shift_labels, 0)
     logp = jax.nn.log_softmax(shift_logits, axis=-1)
-    tok = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    tok = jnp.take_along_axis(
+        logp, safe[..., None], axis=-1, mode="clip"
+    )[..., 0]
     total = jnp.sum(jnp.where(valid, -tok, 0.0))
     count = jnp.maximum(jnp.sum(valid), 1)
     return total / count

@@ -42,8 +42,10 @@ def decoupled_lookup(
     is_extra = ids >= initial_tokenizer_len
     base_ids = jnp.where(is_extra, 0, ids)
     extra_ids = jnp.where(is_extra, ids - initial_tokenizer_len, 0)
-    base = jnp.take(base_table, base_ids, axis=0)
-    extra = jnp.take(extra_table, extra_ids, axis=0)
+    # mode="clip": jnp.take's default fills float OOB gathers with NaN,
+    # which would silently poison the loss on any id-layout mismatch
+    base = jnp.take(base_table, base_ids, axis=0, mode="clip")
+    extra = jnp.take(extra_table, extra_ids, axis=0, mode="clip")
     return jnp.where(is_extra[..., None], extra.astype(base.dtype), base)
 
 

@@ -56,9 +56,14 @@ def init_siglip(key, cfg: SigLIPVisionConfig, dtype=jnp.float32) -> Params:
 
 
 def patchify(images: jax.Array, patch: int) -> jax.Array:
-    """(B, H, W, C) -> (B, nh*nw, patch*patch*C), row-major patches."""
+    """(B, H, W, C) -> (B, nh*nw, patch*patch*C), row-major patches.
+
+    Matches conv-valid semantics: trailing pixels that don't fill a patch
+    are dropped (SigLIP-384/patch14 really uses 27x14=378 of 384 px).
+    """
     b, h, w, c = images.shape
     nh, nw = h // patch, w // patch
+    images = images[:, : nh * patch, : nw * patch]
     x = images.reshape(b, nh, patch, nw, patch, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)  # b nh nw ph pw c
     return x.reshape(b, nh * nw, patch * patch * c)

@@ -55,9 +55,11 @@ def dense_attention(
         k = jnp.repeat(k, h // hkv, axis=2)
         v = jnp.repeat(v, h // hkv, axis=2)
 
+    # Precision rides the global default: tests pin
+    # jax_default_matmul_precision=highest for the fp32 oracle; the bf16
+    # production path keeps the fast MXU mode.
     logits = jnp.einsum(
         "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
     ) * scale
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
@@ -89,7 +91,6 @@ def dense_attention(
     out = jnp.einsum(
         "bhts,bshd->bthd", probs.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
     )
     return out.astype(q.dtype)
 

@@ -1,0 +1,135 @@
+"""Checkpoint save/resume with the reference's selection & filter semantics.
+
+Reference behaviors reproduced (``train/train_utils.py:314-461``):
+
+- checkpoints named ``checkpoint_{epoch}_{step}`` under the run dir;
+- auto-resume picks the newest by step index (``:314-327``);
+- the frozen vision encoder is **excluded** from model state
+  (``:376-410``) but embeddings are kept even when frozen;
+- optimizer + schedule state (here: the whole optax state + step counter)
+  saved alongside;
+- ``keep_last``/delete-previous GC (``--delete_previous_checkpoint``);
+- on restore, perceiver latents are re-initialized if the shape mismatches
+  (``:346-349``) and missing keys fall back to the init values
+  (``strict=False``).
+
+Storage is orbax (sharding-aware, async-capable) instead of a rank-0
+``torch.save`` — multi-host TPU jobs write shards in parallel and restore
+onto any mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+FROZEN_SUBTREES = ("siglip",)
+
+
+def split_frozen(params: dict) -> tuple[dict, dict]:
+    """(savable, frozen) — frozen subtrees are dropped from checkpoints."""
+    savable = {k: v for k, v in params.items() if k not in FROZEN_SUBTREES}
+    frozen = {k: v for k, v in params.items() if k in FROZEN_SUBTREES}
+    return savable, frozen
+
+
+@dataclasses.dataclass
+class CheckpointManager:
+    """Step checkpoints under ``run_dir`` with reference naming/GC."""
+
+    run_dir: str
+    keep_last: int | None = None   # None = keep all (delete_previous => 1)
+
+    def __post_init__(self):
+        self.path = Path(self.run_dir).absolute()
+        self.path.mkdir(parents=True, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    # -- discovery ---------------------------------------------------------
+    def list_checkpoints(self) -> list[tuple[int, int, Path]]:
+        """[(epoch, step, path)] sorted by (step, epoch)."""
+        out = []
+        for p in self.path.glob("checkpoint_*"):
+            m = re.fullmatch(r"checkpoint_(\d+)(?:_(\d+))?", p.name)
+            if m:
+                out.append((int(m.group(1)), int(m.group(2) or 0), p))
+        return sorted(out, key=lambda t: (t[1], t[0]))
+
+    def latest(self) -> Path | None:
+        cks = self.list_checkpoints()
+        return cks[-1][2] if cks else None
+
+    # -- save / restore ------------------------------------------------------
+    def save(self, state: Any, epoch: int, step: int | None = None) -> Path:
+        name = f"checkpoint_{epoch}" + (f"_{step}" if step is not None else "")
+        target = self.path / name
+        savable_params, _ = split_frozen(state.params)
+        payload = {
+            "params": savable_params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+            "epoch": np.asarray(epoch, np.int32),
+        }
+        self._ckptr.save(target, payload)
+        self._ckptr.wait_until_finished()
+        self._gc(keep=target)
+        return target
+
+    def _gc(self, keep: Path):
+        if self.keep_last is None:
+            return
+        cks = [p for *_, p in self.list_checkpoints() if p != keep]
+        for p in cks[: max(0, len(cks) - (self.keep_last - 1))]:
+            import shutil
+
+            shutil.rmtree(p, ignore_errors=True)
+
+    def restore(self, state: Any, path: Path | None = None) -> tuple[Any, int]:
+        """Restore into ``state`` (an initialized TrainState). Returns
+        (new_state, epoch). Missing keys keep init values; perceiver latents
+        with a mismatched shape are left at init (reference ``:346-349``)."""
+        path = path or self.latest()
+        if path is None:
+            return state, 0
+
+        savable_params, frozen = split_frozen(state.params)
+        # template-free read (host numpy), then lenient merge — shape
+        # mismatches keep the init value instead of erroring
+        raw = ocp.PyTreeCheckpointer().restore(Path(path).absolute())
+        merged_params = _merge_lenient(savable_params, raw["params"])
+        merged_params.update(frozen)
+        opt_state = jax.tree.unflatten(
+            jax.tree.structure(state.opt_state),
+            jax.tree.leaves(raw["opt_state"]),
+        )
+        new_state = dataclasses.replace(
+            state,
+            params=merged_params,
+            opt_state=opt_state,
+            step=jax.numpy.asarray(raw["step"]),
+        )
+        return new_state, int(raw["epoch"])
+
+
+def _merge_lenient(init: dict, restored: dict) -> dict:
+    """Recursively prefer restored leaves whose shape matches init."""
+
+    def merge(a, b):
+        if isinstance(a, dict):
+            return {
+                k: merge(a[k], b[k]) if isinstance(b, dict) and k in b else a[k]
+                for k in a
+            }
+        if b is None:
+            return a
+        if hasattr(b, "shape") and hasattr(a, "shape") and a.shape != b.shape:
+            return a  # shape-mismatch: keep init (latents reinit semantics)
+        return b
+
+    return merge(init, restored)

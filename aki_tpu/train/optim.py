@@ -1,0 +1,75 @@
+"""Optimizer factory: AdamW with weight-decay groups and frozen subtrees.
+
+Reference semantics reproduced:
+
+- global-norm grad clip 1.0 before the step (``train_utils.py:254-258``);
+- two weight-decay groups (``train/train.py:329-337``) — AKI applies decay
+  to everything (``src/aki.py:59-63``), the language-stream base exempts
+  ``embed_tokens`` (``src/vlm.py:744-755``); both policies available;
+- frozen vision encoder holds **no optimizer state** (the pjit analogue of
+  excluding params from the optimizer, ``src/aki.py:52-57``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import optax
+
+
+def _path_str(path) -> str:
+    return "/".join(
+        str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+    )
+
+
+def path_mask(params, predicate: Callable[[str], bool]):
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: predicate(_path_str(path)), params
+    )
+
+
+def is_frozen_path(path: str) -> bool:
+    return path.startswith("siglip")
+
+
+def decay_everything(path: str) -> bool:
+    """AKI policy (src/aki.py:59-63)."""
+    return True
+
+
+def decay_except_embeddings(path: str) -> bool:
+    """VLMWithLanguageStream policy (src/vlm.py:744-755)."""
+    return "embed" not in path
+
+
+def make_optimizer(
+    params,
+    learning_rate,
+    weight_decay: float = 0.1,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    grad_clip: float = 1.0,
+    decay_predicate: Callable[[str], bool] = decay_everything,
+    frozen_predicate: Callable[[str], bool] = is_frozen_path,
+) -> optax.GradientTransformation:
+    """AdamW over trainable params; frozen subtrees get set_to_zero (no
+    moments, no updates)."""
+    wd_mask = path_mask(
+        params, lambda p: decay_predicate(p) and not frozen_predicate(p)
+    )
+    adamw = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(
+            learning_rate, b1=b1, b2=b2, eps=eps,
+            weight_decay=weight_decay, mask=wd_mask,
+        ),
+    )
+    labels = path_mask(
+        params, lambda p: "frozen" if frozen_predicate(p) else "train"
+    )
+    return optax.multi_transform(
+        {"train": adamw, "frozen": optax.set_to_zero()}, labels
+    )

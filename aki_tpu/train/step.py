@@ -1,0 +1,126 @@
+"""The jit/pjit train step: loss, grads, accumulation, update.
+
+TPU-first analogues of the reference hot loop (``train_utils.py:214-287``):
+
+- forward/backward under bf16 compute with fp32 master params (amp_bf16);
+- activation checkpointing per decoder layer (``remat=True``);
+- gradient accumulation as a ``lax.scan`` over microbatches — one compiled
+  step regardless of the accumulation factor (the reference loops in Python
+  per dataset, ``train_utils.py:226-252``);
+- global-norm clip + AdamW live inside the optax chain;
+- everything runs under GSPMD: params carry NamedShardings, the batch is
+  sharded over the (data, fsdp) axes, donated state keeps HBM flat.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.aki import aki_forward
+from ..models.common import Policy
+from ..models.configs import AKIConfig
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+    @staticmethod
+    def create(params, optimizer) -> "TrainState":
+        return TrainState(
+            params=params,
+            opt_state=optimizer.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Batch:
+    """One (micro)batch. For grad accumulation, stack microbatches on a
+    leading axis."""
+
+    input_ids: jax.Array    # (..., B, T)
+    images: jax.Array       # (..., B, H, W, C)
+    attn_valid: jax.Array   # (..., B, T)
+    labels: jax.Array       # (..., B, T)
+
+
+def make_loss_fn(cfg: AKIConfig, policy: Policy, remat: bool,
+                 use_flash: bool | None, order: str = "image_first"):
+    def loss_fn(params, batch: Batch):
+        out = aki_forward(
+            params, cfg, batch.input_ids, batch.images, batch.attn_valid,
+            labels=batch.labels, policy=policy, remat=remat,
+            use_flash=use_flash, order=order,
+        )
+        return out.loss
+
+    return loss_fn
+
+
+def make_train_step(
+    cfg: AKIConfig,
+    optimizer: optax.GradientTransformation,
+    policy: Policy = Policy(),
+    remat: bool = True,
+    use_flash: bool | None = None,
+    grad_accum: int = 1,
+    order: str = "image_first",
+    loss_scale: float = 1.0,
+) -> Callable[[TrainState, Batch], tuple[TrainState, dict]]:
+    """Build the (un-jitted) train step; jit with donate_argnums=(0,)."""
+    loss_fn = make_loss_fn(cfg, policy, remat, use_flash, order)
+
+    def scaled_loss(params, micro):
+        return loss_fn(params, micro) * loss_scale
+
+    grad_fn = jax.value_and_grad(scaled_loss)
+
+    def train_step(state: TrainState, batch: Batch):
+        if grad_accum == 1:
+            loss, grads = grad_fn(state.params, batch)
+        else:
+            def acc(carry, micro):
+                loss_sum, grads_sum = carry
+                l, g = grad_fn(state.params, micro)
+                return (
+                    loss_sum + l,
+                    jax.tree.map(jnp.add, grads_sum, g),
+                ), None
+
+            zero = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            (loss, grads), _ = jax.lax.scan(
+                acc, (jnp.zeros((), jnp.float32), zero), batch
+            )
+            loss = loss / grad_accum
+            grads = jax.tree.map(lambda g: g / grad_accum, grads)
+
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params, opt_state=opt_state, step=state.step + 1
+        )
+        metrics = {"loss": loss / loss_scale, "grad_norm": grad_norm}
+        return new_state, metrics
+
+    return train_step
+
+
+def jit_train_step(train_step, mesh, batch_sharding=None):
+    """jit with donated state; shardings come from the arrays themselves."""
+    return jax.jit(train_step, donate_argnums=(0,))

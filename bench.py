@@ -1,0 +1,102 @@
+"""Benchmark: AKI-4B images/sec/chip (prefill + decode) and p50 TTFT.
+
+Runs the full serving path — SigLIP encode -> perceiver -> splice -> MMA
+flash prefill -> 32 causal decode steps — at the released AKI-4B geometry
+with random bf16 weights (weights don't change FLOPs or bandwidth).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` is measured images/sec divided by the north-star target of
+3x an estimated A100 reference throughput.  The reference publishes no
+throughput numbers (BASELINE.md), so the A100 estimate is analytic: torch
+eager AKI-4B at bs8, ~35% MFU prefill + memory-bound decode on 2 TB/s HBM
+=> ~8 img/s.  Target = 24 img/s/chip; vs_baseline >= 1.0 beats it.
+"""
+
+import json
+import sys
+import os
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+A100_BASELINE_IMG_S = 8.0   # analytic estimate, see module docstring
+TARGET_MULTIPLier = 3.0
+
+BATCH = 8
+TEXT_LEN = 512               # SFT max_length (configs/sft.yaml:21)
+DECODE_TOKENS = 32
+MAX_LEN = 704                # 512 + 143 vision + decode room
+
+
+def main():
+    from aki_tpu.infer.engine import generate, prefill
+    from aki_tpu.models.aki import init_aki
+    from aki_tpu.models.common import Policy
+    from aki_tpu.models.configs import aki_4b, aki_tiny
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = aki_4b() if on_tpu else aki_tiny()
+    policy = Policy(param_dtype=jnp.bfloat16)
+    params = jax.jit(
+        lambda k: init_aki(k, cfg, dtype=jnp.bfloat16)
+    )(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    ids = rng.randint(5, cfg.initial_tokenizer_len - 1, size=(BATCH, TEXT_LEN))
+    ids[:, 1] = cfg.media_token_id
+    ids[:, 40] = cfg.assistant_token_id
+    valid = np.ones((BATCH, TEXT_LEN), np.int32)
+    s = cfg.siglip.image_size
+    imgs = rng.randn(BATCH, s, s, 3).astype(np.float32)
+    ids, valid, imgs = jnp.array(ids), jnp.array(valid), jnp.array(imgs)
+
+    run = lambda: generate(
+        params, cfg, ids, imgs, valid,
+        max_new_tokens=DECODE_TOKENS, max_len=MAX_LEN, policy=policy,
+    )
+    # params as an ARGUMENT — closing over them bakes 8.6GB of constants
+    # into the HLO and compile time explodes
+    pf1 = jax.jit(
+        lambda p, i, im, v: prefill(
+            p, cfg, i[:1], im[:1], v[:1], max_len=MAX_LEN, policy=policy
+        ).last_logits
+    )
+
+    # warmup / compile
+    run()[0].block_until_ready()
+    pf1(params, ids, imgs, valid).block_until_ready()
+
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        toks, _ = run()
+    toks.block_until_ready()
+    total = (time.perf_counter() - t0) / n
+    img_s = BATCH / total
+
+    ttfts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        pf1(params, ids, imgs, valid).block_until_ready()
+        ttfts.append((time.perf_counter() - t0) * 1e3)
+    p50_ttft = float(np.percentile(ttfts, 50))
+
+    target = A100_BASELINE_IMG_S * TARGET_MULTIPLier
+    print(json.dumps({
+        "metric": (
+            f"AKI-4B images/sec/chip (bs{BATCH}, {TEXT_LEN}-tok prompt + "
+            f"{DECODE_TOKENS}-tok decode; p50 TTFT bs1 = {p50_ttft:.1f} ms)"
+        ),
+        "value": round(img_s, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(img_s / target, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

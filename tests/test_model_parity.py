@@ -117,3 +117,30 @@ def test_siglip_matches_hf():
 
     ours = np.asarray(siglip_forward(params, cfg, jnp.array(imgs), policy=F32))
     np.testing.assert_allclose(ours, hf_out, rtol=2e-4, atol=2e-4)
+
+
+def test_siglip_nondivisible_image_matches_hf():
+    """384/14 isn't integral: the conv valid-crops; patchify must too."""
+    from transformers import SiglipVisionConfig as HFSiglipVisionConfig
+    from transformers.models.siglip.modeling_siglip import SiglipVisionModel
+
+    hf_cfg = HFSiglipVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+        num_attention_heads=2, image_size=32, patch_size=14,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(1)
+    hf = SiglipVisionModel(hf_cfg).eval().float()
+    cfg = SigLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_layers=1, num_heads=2,
+        image_size=32, patch_size=14,
+    )
+    params = convert_siglip(hf.state_dict(), cfg)
+    imgs = np.random.RandomState(1).randn(1, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        hf_out = hf(
+            pixel_values=torch.tensor(imgs.transpose(0, 3, 1, 2))
+        ).last_hidden_state.numpy()
+    ours = np.asarray(siglip_forward(params, cfg, jnp.array(imgs), policy=F32))
+    assert ours.shape[1] == 4  # (32 // 14)^2
+    np.testing.assert_allclose(ours, hf_out, rtol=2e-4, atol=2e-4)

@@ -1,0 +1,151 @@
+"""Train step + sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from aki_tpu.models.aki import init_aki
+from aki_tpu.models.common import F32
+from aki_tpu.models.configs import aki_tiny
+from aki_tpu.parallel.mesh import MeshConfig, batch_sharding, create_mesh
+from aki_tpu.parallel.sharding import param_shardings, shard_params
+from aki_tpu.train.optim import make_optimizer
+from aki_tpu.train.schedules import cosine_min_lr, make_schedule
+from aki_tpu.train.step import Batch, TrainState, make_train_step
+
+CFG = aki_tiny()
+
+
+def make_batch(rng, b=8, t=16, accum=None):
+    def one():
+        ids = rng.randint(5, CFG.initial_tokenizer_len - 1, size=(b, t))
+        ids[:, 1] = CFG.media_token_id
+        ids[:, 8] = CFG.assistant_token_id
+        valid = np.ones((b, t), np.int32)
+        labels = ids.copy()
+        labels[:, :9] = -100
+        s = CFG.siglip.image_size
+        imgs = rng.randn(b, s, s, 3).astype(np.float32)
+        return ids, valid, labels, imgs
+
+    if accum is None:
+        ids, valid, labels, imgs = one()
+        return Batch(
+            input_ids=jnp.array(ids), images=jnp.array(imgs),
+            attn_valid=jnp.array(valid), labels=jnp.array(labels),
+        )
+    parts = [one() for _ in range(accum)]
+    return Batch(
+        input_ids=jnp.array(np.stack([p[0] for p in parts])),
+        images=jnp.array(np.stack([p[3] for p in parts])),
+        attn_valid=jnp.array(np.stack([p[1] for p in parts])),
+        labels=jnp.array(np.stack([p[2] for p in parts])),
+    )
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8
+    mesh = create_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+    assert dict(mesh.shape) == {"data": 2, "fsdp": 2, "tensor": 2}
+    mesh = create_mesh(MeshConfig(data=1, fsdp=-1, tensor=1))
+    assert mesh.shape["fsdp"] == 8
+
+
+def test_param_shardings_follow_rules():
+    mesh = create_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+    params = init_aki(jax.random.PRNGKey(0), CFG)
+    sh = param_shardings(params, mesh)
+    # wq: (L, d, nh*dh) -> P(None, fsdp, tensor)
+    assert sh["phi3"]["layers"]["wq"].spec == jax.sharding.PartitionSpec(
+        None, "fsdp", "tensor"
+    )
+    # norm scales replicate
+    assert sh["phi3"]["final_norm"]["scale"].spec == jax.sharding.PartitionSpec()
+    # indivisible dims fall back to replication rather than erroring
+    placed = shard_params(params, mesh)
+    assert placed["phi3"]["layers"]["wq"].sharding.is_fully_replicated is False
+
+
+def test_train_step_loss_decreases_and_frozen_stays():
+    mesh = create_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+    params = init_aki(jax.random.PRNGKey(0), CFG)
+    params = shard_params(params, mesh)
+    opt = make_optimizer(params, learning_rate=3e-3, weight_decay=0.0)
+    state = TrainState.create(params, opt)
+    step = jax.jit(make_train_step(CFG, opt, policy=F32, remat=True,
+                                   use_flash=False), donate_argnums=(0,))
+
+    rng = np.random.RandomState(0)
+    batch = make_batch(rng)
+    batch = jax.device_put(batch, batch_sharding(mesh))
+
+    sig_before = np.asarray(
+        jax.tree.leaves(jax.tree.map(jnp.sum, state.params["siglip"]))
+    ).sum()
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    sig_after = np.asarray(
+        jax.tree.leaves(jax.tree.map(jnp.sum, state.params["siglip"]))
+    ).sum()
+    assert sig_before == sig_after  # frozen encoder untouched
+    assert int(state.step) == 5
+
+
+def test_grad_accum_matches_big_batch():
+    params = init_aki(jax.random.PRNGKey(1), CFG)
+    opt = optax.sgd(1e-2)  # linear optimizer => exact equivalence
+
+    rng = np.random.RandomState(1)
+    big = make_batch(rng, b=4, t=12)
+
+    micro = Batch(
+        input_ids=big.input_ids.reshape(2, 2, -1),
+        images=big.images.reshape(2, 2, *big.images.shape[1:]),
+        attn_valid=big.attn_valid.reshape(2, 2, -1),
+        labels=big.labels.reshape(2, 2, -1),
+    )
+
+    # no donation here: both states alias the same param buffers
+    s1 = TrainState.create(params, opt)
+    step1 = jax.jit(make_train_step(CFG, opt, policy=F32, use_flash=False))
+    s1, m1 = step1(s1, big)
+
+    s2 = TrainState.create(params, opt)
+    step2 = jax.jit(make_train_step(CFG, opt, policy=F32, use_flash=False,
+                                    grad_accum=2))
+    s2, m2 = step2(s2, micro)
+
+    # each microbatch has uniform token counts -> mean-of-means == mean
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    a = np.asarray(s1.params["phi3"]["layers"]["wq"])
+    b = np.asarray(s2.params["phi3"]["layers"]["wq"])
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_schedules():
+    sch = cosine_min_lr(1e-3, 1e-5, warmup_steps=10, total_steps=110)
+    assert float(sch(0)) == 0.0
+    np.testing.assert_allclose(float(sch(10)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sch(110)), 1e-5, rtol=1e-4)
+    lin = make_schedule("linear", 1e-3, 0.0, 10, 110)
+    np.testing.assert_allclose(float(lin(60)), 5e-4, rtol=1e-5)
+    const = make_schedule("constant", 1e-3, 0.0, 10, 110)
+    np.testing.assert_allclose(float(const(1000)), 1e-3, rtol=1e-6)
+    with pytest.raises(ValueError):
+        make_schedule("bogus", 1e-3, 0.0, 10, 110)
+
+
+def test_weight_decay_mask():
+    """decay_except_embeddings must not decay embed tables."""
+    from aki_tpu.train.optim import decay_except_embeddings, path_mask
+
+    params = init_aki(jax.random.PRNGKey(2), CFG)
+    mask = path_mask(params, decay_except_embeddings)
+    assert mask["phi3"]["embed"]["table"] is False
+    assert mask["extra_embed"]["table"] is False
+    assert mask["phi3"]["layers"]["wq"] is True
