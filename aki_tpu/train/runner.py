@@ -1,0 +1,153 @@
+"""Shared training runner: model/optimizer build, epoch loop, resume.
+
+The TPU-native shape of the reference's two loops
+(``train_utils.py:78-287``): one jitted step (grad accumulation inside),
+host-side data prefetch, periodic checkpoints, TensorBoard/JSONL metrics,
+auto-resume.  Used by both the pretrain CLI (webdataset captions) and the
+SFT CLI (weighted mixture), mirroring ``train.py`` /
+``instruction_finetune.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+
+from ..models.aki import init_aki
+from ..models.common import Policy
+from ..models.configs import AKIConfig
+from ..parallel.mesh import MeshConfig, batch_sharding, create_mesh
+from ..parallel.sharding import shard_params
+from .checkpoints import CheckpointManager
+from .metrics import AverageMeter, MetricsLogger
+from .optim import (
+    decay_everything, decay_except_embeddings, make_optimizer,
+)
+from .schedules import make_schedule
+from .step import Batch, TrainState, make_train_step
+
+
+@dataclasses.dataclass
+class RunnerConfig:
+    run_dir: str = "runs/default"
+    learning_rate: float = 1e-4
+    min_lr: float = 1e-6
+    weight_decay: float = 0.1
+    warmup_steps: int = 100
+    total_steps: int = 1000
+    lr_schedule: str = "cosine"
+    grad_clip: float = 1.0
+    grad_accum: int = 1
+    precision: str = "bf16"            # "bf16" (amp_bf16) | "fp32"
+    remat: bool = True
+    checkpoint_steps: int = 1000
+    keep_last_checkpoints: int | None = None
+    seed: int = 42
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    decay_policy: str = "all"          # "all" (AKI) | "except_embeddings"
+    order: str = "image_first"         # MMA | DOT ablation ("text_first")
+    training_mode: str = "scratch"     # scratch | resume | sft_scratch
+    log_every: int = 10
+
+
+class Trainer:
+    def __init__(self, model_cfg: AKIConfig, run_cfg: RunnerConfig,
+                 init_params=None):
+        self.model_cfg = model_cfg
+        self.cfg = run_cfg
+        self.policy = (
+            Policy() if run_cfg.precision == "bf16"
+            else Policy(compute_dtype=jnp.float32)
+        )
+        self.mesh = create_mesh(run_cfg.mesh)
+        self.is_main = jax.process_index() == 0
+
+        params = init_params if init_params is not None else init_aki(
+            jax.random.PRNGKey(run_cfg.seed), model_cfg
+        )
+        params = shard_params(params, self.mesh)
+        schedule = make_schedule(
+            run_cfg.lr_schedule, run_cfg.learning_rate, run_cfg.min_lr,
+            run_cfg.warmup_steps, run_cfg.total_steps,
+        )
+        self._schedule = schedule
+        decay = (decay_everything if run_cfg.decay_policy == "all"
+                 else decay_except_embeddings)
+        self.optimizer = make_optimizer(
+            params, schedule, weight_decay=run_cfg.weight_decay,
+            grad_clip=run_cfg.grad_clip, decay_predicate=decay,
+        )
+        self.state = TrainState.create(params, self.optimizer)
+        self.ckpt = CheckpointManager(
+            run_cfg.run_dir, keep_last=run_cfg.keep_last_checkpoints
+        )
+        self.epoch = 0
+
+        # auto-resume (train.py:288-298); sft_scratch loads weights but
+        # resets counters (instruction_finetune.py:109-116)
+        if run_cfg.training_mode in ("resume", "sft_resume"):
+            self.state, self.epoch = self.ckpt.restore(self.state)
+        elif run_cfg.training_mode == "sft_scratch":
+            restored, _ = self.ckpt.restore(self.state)
+            self.state = dataclasses.replace(
+                restored, step=jnp.zeros((), jnp.int32),
+                opt_state=self.optimizer.init(restored.params),
+            )
+
+        self.step_fn = jax.jit(
+            make_train_step(
+                model_cfg, self.optimizer, policy=self.policy,
+                remat=run_cfg.remat, grad_accum=run_cfg.grad_accum,
+                order=run_cfg.order,
+            ),
+            donate_argnums=(0,),
+        )
+        self.metrics = MetricsLogger(run_cfg.run_dir, is_main=self.is_main)
+        self._bsharding = batch_sharding(self.mesh)
+
+    def put_batch(self, np_batch) -> Batch:
+        batch = Batch(
+            input_ids=np_batch.input_ids, images=np_batch.images,
+            attn_valid=np_batch.attn_valid, labels=np_batch.labels,
+        )
+        return jax.device_put(batch, self._bsharding)
+
+    def run_epoch(self, batch_iter: Iterator, epoch: int) -> int:
+        """Run one epoch; returns global step. Stops at total_steps."""
+        cfg = self.cfg
+        step_time = AverageMeter()
+        data_time = AverageMeter()
+        t_end = time.perf_counter()
+        for np_batch in batch_iter:
+            step = int(self.state.step)
+            if step >= cfg.total_steps:
+                break
+            data_time.update(time.perf_counter() - t_end)
+            batch = self.put_batch(np_batch)
+            self.state, m = self.step_fn(self.state, batch)
+            step += 1
+            if step % cfg.log_every == 0:
+                # host sync only at log boundaries
+                loss = float(m["loss"])
+                self.metrics.log(
+                    step,
+                    training_loss=loss,
+                    learning_rate=float(self._schedule(step)),
+                    grad_norm=float(m["grad_norm"]),
+                    step_time=step_time.avg,
+                    data_time=data_time.avg,
+                )
+            if step % cfg.checkpoint_steps == 0 and self.is_main:
+                self.ckpt.save(self.state, epoch=epoch, step=step)
+            step_time.update(time.perf_counter() - t_end)
+            t_end = time.perf_counter()
+        return int(self.state.step)
+
+    def finish(self, epoch: int):
+        if self.is_main:
+            self.ckpt.save(self.state, epoch=epoch, step=int(self.state.step))
+        self.metrics.close()
