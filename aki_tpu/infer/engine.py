@@ -79,13 +79,14 @@ def prefill(
         cache=cache, cache_index=jnp.zeros((b,), jnp.int32),
         policy=policy, use_flash=use_flash,
     )
-    logits = lm_logits(params, cfg, hidden, policy)
-
+    # head only on each sample's last valid position — full-sequence logits
+    # at prefill are (B, T, 32k) of dead weight (HBM + 5% of the FLOPs)
     lengths = jnp.sum(sp.attn_valid, axis=1).astype(jnp.int32)
     last_idx = jnp.clip(lengths - 1, 0, t_full - 1)
-    last_logits = jnp.take_along_axis(
-        logits, last_idx[:, None, None], axis=1
-    )[:, 0]
+    last_hidden = jnp.take_along_axis(
+        hidden, last_idx[:, None, None], axis=1
+    )
+    last_logits = lm_logits(params, cfg, last_hidden, policy)[:, 0]
     return GenState(
         cache=cache, kv_valid=kv_valid, lengths=lengths,
         last_logits=last_logits.astype(jnp.float32),

@@ -67,24 +67,29 @@ def main():
         ).last_logits
     )
 
+    # NOTE: on the tunneled axon backend block_until_ready does not block;
+    # force completion with a tiny host fetch and amortize over a chain.
+    def sync(x):
+        return float(jnp.sum(x).astype(jnp.float32))
+
     # warmup / compile
-    run()[0].block_until_ready()
-    pf1(params, ids, imgs, valid).block_until_ready()
+    sync(run()[0])
+    sync(pf1(params, ids, imgs, valid))
 
     n = 5
     t0 = time.perf_counter()
     for _ in range(n):
         toks, _ = run()
-    toks.block_until_ready()
+    sync(toks)
     total = (time.perf_counter() - t0) / n
     img_s = BATCH / total
 
-    ttfts = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        pf1(params, ids, imgs, valid).block_until_ready()
-        ttfts.append((time.perf_counter() - t0) * 1e3)
-    p50_ttft = float(np.percentile(ttfts, 50))
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        r = pf1(params, ids, imgs, valid)
+    sync(r)
+    p50_ttft = (time.perf_counter() - t0) / n * 1e3
 
     target = A100_BASELINE_IMG_S * TARGET_MULTIPLier
     print(json.dumps({
