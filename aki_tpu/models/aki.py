@@ -57,14 +57,22 @@ def encode_vision(
     params: Params, cfg: AKIConfig, images: jax.Array,
     policy: Policy = Policy(),
 ) -> jax.Array:
-    """Pixels -> vision tokens. (B, H, W, C) -> (B, n_vis, D_lm).
+    """Pixels -> vision tokens. (B, H, W, C) -> (B, n_vis, D_lm), or
+    (B, N_img, H, W, C) -> (B, N_img, n_vis, D_lm) for interleaved inputs.
 
     The encoder runs under ``stop_gradient`` (reference ``torch.no_grad``
     at ``src/vlm.py:199``); the perceiver stays differentiable.
     """
+    multi = images.ndim == 5
+    if multi:
+        b, n = images.shape[:2]
+        images = images.reshape((b * n,) + images.shape[2:])
     feats = siglip_forward(params["siglip"], cfg.siglip, images, policy)
     feats = jax.lax.stop_gradient(feats)
-    return perceiver_forward(params["perceiver"], cfg.perceiver, feats, policy)
+    toks = perceiver_forward(params["perceiver"], cfg.perceiver, feats, policy)
+    if multi:
+        toks = toks.reshape((b, n) + toks.shape[1:])
+    return toks
 
 
 def embed_text(params: Params, cfg: AKIConfig, ids: jax.Array,
@@ -122,10 +130,20 @@ def aki_forward(
         vision_tokens = encode_vision(params, cfg, images, policy)
 
     text_embeds = embed_text(params, cfg, input_ids, policy)
-    sp = splice_vision_tokens(
-        text_embeds, vision_tokens, input_ids, attn_valid,
-        cfg.media_token_id, cfg.assistant_token_id, labels=labels, order=order,
-    )
+    if vision_tokens.ndim == 4:
+        # interleaved multi-image (B, N_img, n_vis, D)
+        from .fusion import splice_vision_tokens_multi
+
+        sp = splice_vision_tokens_multi(
+            text_embeds, vision_tokens, input_ids, attn_valid,
+            cfg.media_token_id, cfg.assistant_token_id, labels=labels,
+        )
+    else:
+        sp = splice_vision_tokens(
+            text_embeds, vision_tokens, input_ids, attn_valid,
+            cfg.media_token_id, cfg.assistant_token_id, labels=labels,
+            order=order,
+        )
     hidden, _ = phi3_forward(
         params["phi3"], cfg.phi3, sp.embeds, sp.positions,
         spec=sp.spec, kv_valid=sp.attn_valid,

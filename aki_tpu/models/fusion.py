@@ -221,3 +221,120 @@ def collapse_logits(logits: jax.Array, text_pos: jax.Array) -> jax.Array:
     return jnp.take_along_axis(
         logits, text_pos[..., None].astype(jnp.int32), axis=1
     )
+
+
+def _first_n_indices(ids: jax.Array, token_id: int, n: int, fill: int):
+    """Indices of the first n occurrences of token_id per row; missing
+    occurrences get ``fill``. Returns (idx (B, n) int32, count (B,))."""
+    b, t = ids.shape
+    hit = (ids == token_id)
+    order = jnp.cumsum(hit, axis=1)  # 1-based occurrence number at hits
+    occ = jnp.where(hit, order, 0)
+    idx = jnp.full((b, n), fill, jnp.int32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1)
+    for j in range(n):
+        hit_j = occ == (j + 1)
+        has = jnp.any(hit_j, axis=1)
+        pj = jnp.where(has, jnp.argmax(hit_j, axis=1).astype(jnp.int32), fill)
+        idx = idx.at[:, j].set(pj)
+    count = jnp.minimum(jnp.sum(hit, axis=1), n).astype(jnp.int32)
+    return idx, count
+
+
+def splice_vision_tokens_multi(
+    text_embeds: jax.Array,
+    vision_tokens: jax.Array,       # (B, N_img, n_vis, D)
+    input_ids: jax.Array,
+    attn_valid: jax.Array,
+    media_token_id: int,
+    assistant_token_id: int,
+    labels: jax.Array | None = None,
+) -> SplicedBatch:
+    """Interleaved multi-image splice (SFT stretch; the reference's Python
+    loop nominally supports this at vlm.py:523-577 but its multi-image mask
+    rebuild is broken — AKI only ever trains single-image).
+
+    Generalization: image j's MMA block opens rows [s_j, s_j + n_vis) to
+    keys [s_j + n_vis, spliced_assistant + 1) — each image attends forward
+    to everything up to and including ``<|assistant|>``, reducing exactly
+    to the single-image semantics for N_img = 1.
+    """
+    b, t_txt, d = text_embeds.shape
+    n_img, n_vis = vision_tokens.shape[1], vision_tokens.shape[2]
+    t_full = t_txt + n_img * (n_vis - 1)
+    stride = n_vis - 1
+
+    ids = input_ids.astype(jnp.int32)
+    img_idx, n_present = _first_n_indices(ids, media_token_id, n_img, t_txt)
+    asst_idx, _ = _first_index_of(ids, assistant_token_id)
+
+    # missing image j: park its block beyond the real content
+    slot = jnp.arange(n_img, dtype=jnp.int32)[None]
+    present = slot < n_present[:, None]
+    park = t_txt + slot * 0  # text length (before offset) for parked blocks
+    raw = jnp.where(present, img_idx, park)
+    # spliced start of image j's block
+    s = raw + slot * stride                                     # (B, N)
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, t_full), 1)   # (B, T_full)
+    pe = pos[:, :, None]                                        # (B, T, 1)
+    in_img = (pe >= s[:, None]) & (pe < (s + n_vis)[:, None])   # (B, T, N)
+    is_vis = jnp.any(in_img, axis=2)
+    img_of = jnp.argmax(in_img, axis=2).astype(jnp.int32)       # (B, T)
+    off_of = jnp.clip(
+        pos - jnp.take_along_axis(s, img_of, axis=1), 0, n_vis - 1
+    )
+    # images whose block ends at or before pos
+    n_done = jnp.sum((pe >= (s + n_vis)[:, None]).astype(jnp.int32), axis=2)
+    text_idx = jnp.where(
+        is_vis,
+        jnp.take_along_axis(raw, img_of, axis=1),  # the <image> slot itself
+        pos - n_done * stride,
+    )
+    text_idx = jnp.clip(text_idx, 0, t_txt - 1)
+
+    gathered_text = jnp.take_along_axis(text_embeds, text_idx[..., None], axis=1)
+    flat_vis = vision_tokens.reshape(b, n_img * n_vis, d)
+    vis_flat_idx = jnp.clip(img_of * n_vis + off_of, 0, n_img * n_vis - 1)
+    gathered_vis = jnp.take_along_axis(flat_vis, vis_flat_idx[..., None], axis=1)
+    embeds = jnp.where(is_vis[..., None], gathered_vis, gathered_text)
+
+    text_valid = jnp.take_along_axis(attn_valid.astype(jnp.int32), text_idx, axis=1)
+    vis_present = jnp.take_along_axis(
+        present.astype(jnp.int32), img_of, axis=1
+    )
+    valid = jnp.where(is_vis, vis_present, text_valid)
+
+    out_labels = None
+    if labels is not None:
+        lt = jnp.take_along_axis(labels.astype(jnp.int32), text_idx, axis=1)
+        out_labels = jnp.where(is_vis, IGNORE_INDEX, lt)
+
+    # spec: per-image blocks; parked blocks get empty spans
+    asst_done = jnp.sum(
+        ((asst_idx[:, None, None] >= (raw + 1)[:, None]) & present[:, None]).astype(jnp.int32),
+        axis=2,
+    )[:, 0]  # images occurring before the assistant token
+    asst_spliced = asst_idx + asst_done * stride
+    img_start = jnp.where(present, s, 0)
+    txt_start = jnp.where(present, s + n_vis, 0)
+    txt_end = jnp.where(present, (asst_spliced + 1)[:, None], 0)
+    spec = MMASpec(
+        img_start=img_start.astype(jnp.int32),
+        txt_start=txt_start.astype(jnp.int32),
+        txt_end=txt_end.astype(jnp.int32),
+    )
+
+    # spliced index of each text position (for logit collapse)
+    tpos = jax.lax.broadcasted_iota(jnp.int32, (b, t_txt), 1)
+    n_started = jnp.sum(
+        ((tpos[:, :, None] > raw[:, None]) & present[:, None]).astype(jnp.int32),
+        axis=2,
+    )
+    text_pos = tpos + n_started * stride
+
+    positions = jax.lax.broadcasted_iota(jnp.int32, (b, t_full), 1)
+    return SplicedBatch(
+        embeds=embeds, attn_valid=valid, labels=out_labels, spec=spec,
+        text_pos=text_pos, positions=positions,
+    )
