@@ -82,13 +82,26 @@ def log_and_continue(exn: Exception) -> bool:
 
 
 def iter_tar_samples(
-    path: str, handler=log_and_continue,
+    path: str, handler=log_and_continue, prefer_native: bool = True,
 ) -> Iterator[dict[str, bytes]]:
     """Yield dicts {"__key__", "<ext>": bytes, ...} grouped by key prefix.
 
+    Uses the native C++ indexer (``data/native_tar.py``) when available —
+    pread-based, GIL-free — falling back to streaming ``tarfile``.
     Duplicate extensions within a key start a new sample instead of raising
     (group_by_keys_nothrow semantics).
     """
+    if prefer_native:
+        from .native_tar import iter_samples, native_available
+
+        if native_available():
+            try:
+                yield from iter_samples(path)
+                return
+            except Exception as e:  # noqa: BLE001 — reference swallows
+                if not handler(e):
+                    raise
+                return
     try:
         tf = tarfile.open(path, mode="r|*")
     except Exception as e:  # noqa: BLE001 — reference swallows everything
