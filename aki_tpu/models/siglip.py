@@ -91,13 +91,20 @@ def siglip_forward(
     x = x @ pp["patch_embed"]["w"] + pp["patch_embed"]["b"]
     x = x + pp["pos_embed"]
 
+    use_flash = jax.default_backend() == "tpu"
+
     def body(x, lp):
         b, t, d = x.shape
         h = layernorm(lp["ln1"], x, eps)
         q = (h @ lp["wq"] + lp["bq"]).reshape(b, t, nh, dh)
         k = (h @ lp["wk"] + lp["bk"]).reshape(b, t, nh, dh)
         v = (h @ lp["wv"] + lp["bv"]).reshape(b, t, nh, dh)
-        attn = dense_attention(q, k, v, causal=False)
+        if use_flash:
+            from ..ops.flash_mma import flash_mma_attention
+
+            attn = flash_mma_attention(q, k, v, causal=False)
+        else:
+            attn = dense_attention(q, k, v, causal=False)
         x = x + (attn.reshape(b, t, d) @ lp["wo"] + lp["bo"])
         h2 = layernorm(lp["ln2"], x, eps)
         h2 = h2 @ lp["fc1"]["w"] + lp["fc1"]["b"]

@@ -54,6 +54,7 @@ def _kernel(
     block_q: int,
     block_kv: int,
     num_images: int,
+    causal: bool,
 ):
     b = pl.program_id(0)
     qi = pl.program_id(2)
@@ -71,8 +72,11 @@ def _kernel(
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     # --- block-level relevance -------------------------------------------
-    # causal: the tile has any k <= q iff k_start <= q_last
-    causal_overlap = k_start <= q_start + (block_q - 1)
+    # causal: the tile has any k <= q iff k_start <= q_last; non-causal
+    # (encoder) mode keeps every tile
+    causal_overlap = (
+        k_start <= q_start + (block_q - 1) if causal else True
+    )
     # MMA rectangles: q rows in [img_start, txt_start), k cols in
     # [txt_start, txt_end) — overlap test per image, then OR.
     mma_overlap = False
@@ -100,7 +104,7 @@ def _kernel(
         k_pos = k_start + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_kv), 1
         )
-        ok = k_pos <= q_pos
+        ok = (k_pos <= q_pos) if causal else (k_pos == k_pos)
         for n in range(num_images):
             i0 = img_start_ref[b, n]
             t0 = txt_start_ref[b, n]
@@ -194,7 +198,7 @@ def _flash_fwd_impl(q, k, v, packed_spec, kv_valid_and_offset,
 
     kernel = functools.partial(
         _kernel, scale=scale, block_q=block_q, block_kv=block_kv,
-        num_images=n_img,
+        num_images=n_img, causal=causal,
     )
     out = pl.pallas_call(
         kernel,
@@ -255,7 +259,11 @@ def _flash_bwd(causal, scale, block_q, block_kv, interpret, res, g):
     q, k, v, packed_spec, kv_valid_and_offset = res
     img_start, txt_start, txt_end = packed_spec
     kv_valid, q_offset = kv_valid_and_offset
-    spec = MMASpec(img_start=img_start, txt_start=txt_start, txt_end=txt_end)
+    # non-causal mode: a (normalized, empty) spec would force causal masking
+    spec = (
+        MMASpec(img_start=img_start, txt_start=txt_start, txt_end=txt_end)
+        if causal else None
+    )
 
     def f(q_, k_, v_):
         return dense_attention(
@@ -291,8 +299,6 @@ def flash_mma_attention(
     """
     from .attention import dense_attention
 
-    if not causal:
-        raise NotImplementedError("flash kernel is causal/MMA only")
     b, t, h, d = q.shape
     if t == 1:
         return dense_attention(

@@ -117,3 +117,33 @@ def test_decode_single_row_fallback():
     want = dense_attention(q, k, v, spec=causal_spec(b), kv_valid=kv_valid,
                            q_offset=jnp.array([39, 20]))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_flash_noncausal_matches_dense():
+    rng = np.random.RandomState(7)
+    b, t, h, d = 2, 150, 2, 64
+    q, k, v = rand_qkv(rng, b, t, t, h, d)
+    got = flash_mma_attention(q, k, v, causal=False, interpret=True,
+                              block_q=128, block_kv=128)
+    want = dense_attention(q, k, v, causal=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_flash_noncausal_grad():
+    rng = np.random.RandomState(8)
+    q, k, v = rand_qkv(rng, 1, 96, 96, 2, 32)
+
+    def lf(q, k, v):
+        o = flash_mma_attention(q, k, v, causal=False, interpret=True,
+                                block_q=128, block_kv=128)
+        return jnp.sum(o * o)
+
+    def ld(q, k, v):
+        o = dense_attention(q, k, v, causal=False)
+        return jnp.sum(o * o)
+
+    gf = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(ld, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
