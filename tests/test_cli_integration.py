@@ -186,3 +186,36 @@ def test_cv_bench_prompt_and_letter():
     assert extract_letter("(B)") == "B"
     assert extract_letter(" B. the dog") == "B"
     assert extract_letter("no letter") is None
+
+
+def test_akimodel_from_pretrained_and_answer(tmp_path):
+    """High-level API: from_pretrained on a run dir + chat answer."""
+    import io
+    import jax
+    import optax
+    from PIL import Image
+    from aki_tpu.models.modeling import AKIModel
+    from aki_tpu.models.aki import init_aki
+    from aki_tpu.models.configs import aki_tiny, config_for_tokenizer
+    from aki_tpu.data.tokenizer import HashTokenizer
+    from aki_tpu.train.checkpoints import CheckpointManager
+    from aki_tpu.train.step import TrainState
+
+    tok = HashTokenizer()
+    cfg = config_for_tokenizer(aki_tiny(tok.info.vocab_size), tok.info)
+    params = init_aki(jax.random.PRNGKey(5), cfg)
+    state = TrainState.create(params, optax.sgd(0.0))
+    CheckpointManager(str(tmp_path)).save(state, epoch=0, step=3)
+
+    m = AKIModel.from_pretrained(str(tmp_path), tiny=True)
+    m = type(m)(params=m.params, cfg=m.cfg, tokenizer=m.tokenizer,
+                max_len=128)
+    # restored weights match
+    np.testing.assert_allclose(
+        np.asarray(m.params["phi3"]["layers"]["wq"]),
+        np.asarray(params["phi3"]["layers"]["wq"]),
+    )
+    buf = io.BytesIO()
+    Image.new("RGB", (64, 64), (10, 200, 30)).save(buf, format="PNG")
+    text = m.answer(buf.getvalue(), "what color is this ?", max_new_tokens=4)
+    assert isinstance(text, str)
