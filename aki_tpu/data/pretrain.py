@@ -46,6 +46,7 @@ class PretrainConfig:
     shuffle_buffer: int = 5000
     resampled: bool = False
     num_samples: int | None = None   # per-epoch budget (train_num_samples_X)
+    loss_multiplier: float = 1.0     # per-dataset loss weight
 
 
 def parse_caption(sample: dict, dataset_name: str) -> str | None:
@@ -86,6 +87,7 @@ class PretrainBatch:
     attn_valid: np.ndarray   # (B, T) int32
     labels: np.ndarray       # (B, T) int32, pad -> -100
     images: np.ndarray       # (B, S, S, 3) float32
+    loss_weight: float = 1.0
 
 
 def sample_stream(
@@ -140,14 +142,14 @@ def batches(
         buf_ids.append(ids)
         count += 1
         if len(buf_imgs) == cfg.batch_size:
-            yield _collate(buf_imgs, buf_ids, t, pad)
+            yield _collate(buf_imgs, buf_ids, t, pad, cfg.loss_multiplier)
             buf_imgs, buf_ids = [], []
         if cfg.num_samples is not None and count >= cfg.num_samples:
             break
     # drop_last semantics (WebLoader partial batches are dropped)
 
 
-def _collate(imgs, idss, t, pad) -> PretrainBatch:
+def _collate(imgs, idss, t, pad, loss_weight=1.0) -> PretrainBatch:
     b = len(imgs)
     input_ids = np.full((b, t), pad, np.int32)
     valid = np.zeros((b, t), np.int32)
@@ -158,7 +160,7 @@ def _collate(imgs, idss, t, pad) -> PretrainBatch:
     labels = np.where(valid == 1, input_ids, IGNORE_INDEX).astype(np.int32)
     return PretrainBatch(
         input_ids=input_ids, attn_valid=valid, labels=labels,
-        images=np.stack(imgs).astype(np.float32),
+        images=np.stack(imgs).astype(np.float32), loss_weight=loss_weight,
     )
 
 

@@ -91,14 +91,20 @@ class SFTDataset:
         return self.templatizer(examples, image_prompt=None)
 
     def encode(self, text: str) -> tuple[list[int], list[int]]:
-        """Tokenize + prompt-mask labels (base.py:65-95)."""
+        """Tokenize + prompt-mask labels (base.py:65-95); additionally mask
+        the framework special tokens anywhere in the target
+        (SupervisedPrediction, losses.py:136-140)."""
         ids = self.tokenizer.encode(text, add_bos=True)[: self.max_length]
         asst = self.tokenizer.info.assistant_id
         try:
             split = ids.index(asst) + 1
         except ValueError:
             split = len(ids)
-        labels = [IGNORE_INDEX] * split + ids[split:]
+        special = {self.tokenizer.info.media_id,
+                   self.tokenizer.info.end_of_chunk_id}
+        labels = [IGNORE_INDEX] * split + [
+            IGNORE_INDEX if t in special else t for t in ids[split:]
+        ]
         return ids, labels
 
     def sample(self, index: int) -> SFTSample:

@@ -57,14 +57,17 @@ def resolve_axis_sizes(cfg: MeshConfig, n_devices: int) -> tuple[int, int, int]:
         if n_devices % fixed != 0:
             raise ValueError(f"{n_devices} devices not divisible by {fixed}")
         sizes = [n_devices // fixed if s == -1 else s for s in sizes]
-    if int(np.prod(sizes)) != n_devices:
-        raise ValueError(f"mesh {sizes} != {n_devices} devices")
+    if int(np.prod(sizes)) > n_devices:
+        raise ValueError(f"mesh {sizes} needs more than {n_devices} devices")
     return tuple(sizes)
 
 
 def create_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     sizes = resolve_axis_sizes(cfg, len(devices))
+    # sub-mesh: explicit sizes smaller than the host's device count use the
+    # first prod(sizes) devices (debug runs on a big host)
+    devices = devices[: int(np.prod(sizes))]
     if cfg.data_on_dcn:
         # data axis outermost => maps across slices (DCN); fsdp/tensor ride ICI
         dev_array = mesh_utils.create_hybrid_device_mesh(

@@ -104,10 +104,16 @@ class CheckpointManager:
         raw = ocp.PyTreeCheckpointer().restore(Path(path).absolute())
         merged_params = _merge_lenient(savable_params, raw["params"])
         merged_params.update(frozen)
-        opt_state = jax.tree.unflatten(
-            jax.tree.structure(state.opt_state),
-            jax.tree.leaves(raw["opt_state"]),
-        )
+        try:
+            opt_state = jax.tree.unflatten(
+                jax.tree.structure(state.opt_state),
+                jax.tree.leaves(raw["opt_state"]),
+            )
+        except ValueError:
+            # optimizer definition changed since the checkpoint (e.g. a
+            # pretrain checkpoint consumed by sft_scratch, which re-inits
+            # optimizer state anyway) — keep the fresh opt state
+            opt_state = state.opt_state
         new_state = dataclasses.replace(
             state,
             params=merged_params,

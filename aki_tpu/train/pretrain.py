@@ -79,6 +79,7 @@ def main(argv=None):
             seed=run_cfg.seed,
             num_samples=d.get("train_num_samples"),
             resampled=d.get("resampled", False),
+            loss_multiplier=d.get("loss_multiplier", 1.0),
         ))
 
     epochs = tc.get("num_epochs", 1)

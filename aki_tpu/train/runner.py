@@ -110,11 +110,23 @@ class Trainer:
         self._bsharding = batch_sharding(self.mesh)
 
     def put_batch(self, np_batch) -> Batch:
+        lw = getattr(np_batch, "loss_weight", 1.0)
         batch = Batch(
             input_ids=np_batch.input_ids, images=np_batch.images,
             attn_valid=np_batch.attn_valid, labels=np_batch.labels,
         )
-        return jax.device_put(batch, self._bsharding)
+        batch = jax.device_put(batch, self._bsharding)
+        if lw != 1.0:
+            # scalar multiplier replicates (can't ride the batch axes)
+            from ..parallel.mesh import replicated
+
+            batch = dataclasses.replace(
+                batch,
+                loss_weight=jax.device_put(
+                    jnp.asarray(lw, jnp.float32), replicated(self.mesh)
+                ),
+            )
+        return batch
 
     def run_epoch(self, batch_iter: Iterator, epoch: int) -> int:
         """Run one epoch; returns global step. Stops at total_steps."""

@@ -53,6 +53,9 @@ class Batch:
     images: jax.Array       # (..., B, H, W, C)
     attn_valid: jax.Array   # (..., B, T)
     labels: jax.Array       # (..., B, T)
+    # per-batch loss multiplier (reference --loss_multiplier_X,
+    # train/train.py:100-116); scalar, default 1
+    loss_weight: jax.Array | None = None
 
 
 def make_loss_fn(cfg: AKIConfig, policy: Policy, remat: bool,
@@ -63,7 +66,10 @@ def make_loss_fn(cfg: AKIConfig, policy: Policy, remat: bool,
             labels=batch.labels, policy=policy, remat=remat,
             use_flash=use_flash, order=order,
         )
-        return out.loss
+        loss = out.loss
+        if batch.loss_weight is not None:
+            loss = loss * batch.loss_weight
+        return loss
 
     return loss_fn
 
