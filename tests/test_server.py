@@ -1,0 +1,68 @@
+"""Continuous-batching serving engine: correctness vs the one-shot engine."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aki_tpu.infer.engine import generate
+from aki_tpu.infer.server import ServingEngine
+from aki_tpu.models.aki import init_aki
+from aki_tpu.models.common import F32
+from aki_tpu.models.configs import aki_tiny
+
+CFG = aki_tiny()
+
+
+def make_prompt(rng, t=12):
+    ids = rng.randint(5, CFG.initial_tokenizer_len - 1, size=(t,))
+    ids[1] = CFG.media_token_id
+    ids[8] = CFG.assistant_token_id
+    s = CFG.siglip.image_size
+    img = rng.randn(s, s, 3).astype(np.float32)
+    return list(ids), img
+
+
+def test_server_matches_one_shot_greedy():
+    rng = np.random.RandomState(0)
+    params = init_aki(jax.random.PRNGKey(0), CFG)
+    engine = ServingEngine(params, CFG, num_slots=2, max_len=48,
+                           prompt_bucket=12, policy=F32)
+
+    reqs = []
+    prompts = []
+    for i in range(4):  # more requests than slots -> slot reuse
+        ids, img = make_prompt(np.random.RandomState(100 + i))
+        prompts.append((ids, img))
+        reqs.append(engine.submit(ids, img, max_new_tokens=5))
+    engine.run_until_drained()
+
+    for (ids, img), req in zip(prompts, reqs):
+        got = req.result(timeout=1)
+        want, _ = generate(
+            params, CFG, jnp.array([ids], jnp.int32), jnp.array(img[None]),
+            jnp.ones((1, len(ids)), jnp.int32), max_new_tokens=5, max_len=48,
+            policy=F32, use_flash=False,
+        )
+        assert got == list(np.asarray(want)[0]), (got, np.asarray(want)[0])
+
+
+def test_server_eos_frees_slot_early():
+    rng = np.random.RandomState(1)
+    params = init_aki(jax.random.PRNGKey(1), CFG)
+    engine = ServingEngine(params, CFG, num_slots=1, max_len=48,
+                           prompt_bucket=12, policy=F32)
+    ids, img = make_prompt(rng)
+    # find the first greedy token and use it as eos
+    want, _ = generate(
+        params, CFG, jnp.array([ids], jnp.int32), jnp.array(img[None]),
+        jnp.ones((1, len(ids)), jnp.int32), max_new_tokens=1, max_len=48,
+        policy=F32, use_flash=False,
+    )
+    eos = int(np.asarray(want)[0][0])
+    r1 = engine.submit(ids, img, max_new_tokens=8, eos_id=eos)
+    ids2, img2 = make_prompt(np.random.RandomState(7))
+    r2 = engine.submit(ids2, img2, max_new_tokens=3)
+    steps = engine.run_until_drained()
+    assert r1.result(timeout=1) == []     # stopped at eos immediately
+    assert len(r2.result(timeout=1)) == 3
+    assert steps <= 8  # early slot free: far fewer than 8+3 sequential steps
