@@ -68,7 +68,7 @@ def create_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     # sub-mesh: explicit sizes smaller than the host's device count use the
     # first prod(sizes) devices (debug runs on a big host)
     devices = devices[: int(np.prod(sizes))]
-    if cfg.data_on_dcn:
+    if cfg.data_on_dcn and getattr(devices[0], "slice_index", None) is not None:
         # data axis outermost => maps across slices (DCN); fsdp/tensor ride ICI
         dev_array = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(1, sizes[1], sizes[2]),
@@ -76,6 +76,8 @@ def create_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
             devices=devices,
         )
     else:
+        # single-slice (or CPU-sim) fallback: data axis outermost still puts
+        # replicas on the coarsest interconnect dimension
         dev_array = mesh_utils.create_device_mesh(sizes, devices=devices)
     return Mesh(dev_array, AXES)
 
