@@ -91,6 +91,26 @@ def iter_tar_samples(
     Duplicate extensions within a key start a new sample instead of raising
     (group_by_keys_nothrow semantics).
     """
+    if path.startswith("pipe:"):
+        # reference streams shards through a shell command, e.g.
+        # "pipe:aws s3 cp s3://bucket/shard.tar -" (train.py:224-229)
+        import subprocess
+        import tarfile as _tarfile
+
+        proc = subprocess.Popen(
+            path[len("pipe:"):], shell=True, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+        )
+        try:
+            tf = _tarfile.open(fileobj=proc.stdout, mode="r|*")
+            yield from _group_members(tf, handler)
+        except Exception as e:  # noqa: BLE001
+            if not handler(e):
+                raise
+        finally:
+            proc.stdout.close()
+            proc.wait()
+        return
     if prefer_native:
         from .native_tar import iter_samples, native_available
 
@@ -108,6 +128,11 @@ def iter_tar_samples(
         if handler(e):
             return
         raise
+    yield from _group_members(tf, handler)
+
+
+def _group_members(tf, handler) -> Iterator[dict[str, bytes]]:
+    """Group tar members into key-prefixed samples (dup-tolerant)."""
     sample: dict = {}
     try:
         for member in tf:
