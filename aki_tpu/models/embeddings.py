@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from .common import Params
+from .quant import mm, take_columns
 
 
 def init_decoupled(key, hidden: int, num_extra: int, vocab_size: int,
@@ -60,6 +61,6 @@ def decoupled_logits(
     The base head is truncated to the live vocab *before* the matmul — the
     dead padded columns (32011..32063 for Phi-3.5) never cost FLOPs.
     """
-    base = hidden @ head_w[:, :initial_tokenizer_len]
+    base = mm(hidden, take_columns(head_w, initial_tokenizer_len))
     extra = hidden @ extra_w
     return jnp.concatenate([base, extra], axis=-1)

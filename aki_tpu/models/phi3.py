@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from ..ops.attention import dense_attention
 from ..ops.masks import MMASpec
 from ..ops.rope import apply_rope, rope_cos_sin
+from .quant import mm
 from .common import Params, Policy, rmsnorm
 from .configs import Phi3Config
 
@@ -116,9 +117,9 @@ def _attention_layer(
     nh, nkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     h = rmsnorm(lp["ln1"], x, eps)
-    q = (h @ lp["wq"]).reshape(b, t, nh, dh)
-    k = (h @ lp["wk"]).reshape(b, t, nkv, dh)
-    v = (h @ lp["wv"]).reshape(b, t, nkv, dh)
+    q = mm(h, lp["wq"]).reshape(b, t, nh, dh)
+    k = mm(h, lp["wk"]).reshape(b, t, nkv, dh)
+    v = mm(h, lp["wv"]).reshape(b, t, nkv, dh)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -155,13 +156,16 @@ def _attention_layer(
         attn = dense_attention(
             q, k_att, v_att, spec=spec, kv_valid=kv_valid, q_offset=q_offset
         )
-    out = attn.reshape(b, t, nh * dh) @ lp["wo"]
+    out = mm(attn.reshape(b, t, nh * dh), lp["wo"])
     x = x + out
 
     h2 = rmsnorm(lp["ln2"], x, eps)
-    gate = h2 @ lp["w_gate"]
-    up = h2 @ lp["w_up"]
-    mlp = (jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up) @ lp["w_down"]
+    gate = mm(h2, lp["w_gate"])
+    up = mm(h2, lp["w_up"])
+    mlp = mm(
+        jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
+        lp["w_down"],
+    )
     return x + mlp, new_cache
 
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 A100_BASELINE_IMG_S = 8.0   # analytic estimate, see module docstring
 TARGET_MULTIPLier = 3.0
 
-BATCH = 8
+BATCH = int(os.environ.get("AKI_BENCH_BATCH", "16"))
 TEXT_LEN = 512               # SFT max_length (configs/sft.yaml:21)
 DECODE_TOKENS = 32
 MAX_LEN = 704                # 512 + 143 vision + decode room
@@ -45,6 +45,11 @@ def main():
     params = jax.jit(
         lambda k: init_aki(k, cfg, dtype=jnp.bfloat16)
     )(jax.random.PRNGKey(0))
+    use_int8 = os.environ.get("AKI_BENCH_INT8", "1") == "1"
+    if use_int8:
+        from aki_tpu.models.quant import quantize_params
+
+        params = jax.jit(quantize_params)(params)
 
     rng = np.random.RandomState(0)
     ids = rng.randint(5, cfg.initial_tokenizer_len - 1, size=(BATCH, TEXT_LEN))
@@ -95,7 +100,9 @@ def main():
     print(json.dumps({
         "metric": (
             f"AKI-4B images/sec/chip (bs{BATCH}, {TEXT_LEN}-tok prompt + "
-            f"{DECODE_TOKENS}-tok decode; p50 TTFT bs1 = {p50_ttft:.1f} ms)"
+            f"{DECODE_TOKENS}-tok decode, "
+            f"{'int8 weights' if use_int8 else 'bf16'};"
+            f" p50 TTFT bs1 = {p50_ttft:.1f} ms)"
         ),
         "value": round(img_s, 3),
         "unit": "images/sec",

@@ -1,0 +1,60 @@
+"""Weight-only int8 quantization: numerics + generation parity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aki_tpu.infer.engine import generate
+from aki_tpu.models.aki import aki_forward, init_aki
+from aki_tpu.models.common import F32
+from aki_tpu.models.configs import aki_tiny
+from aki_tpu.models.quant import mm, quantize_params, quantize_tensor
+
+CFG = aki_tiny()
+
+
+def test_quantize_tensor_roundtrip_error():
+    rng = np.random.RandomState(0)
+    w = jnp.array(rng.randn(64, 128).astype(np.float32))
+    q = quantize_tensor(w)
+    assert q["q"].dtype == jnp.int8
+    deq = np.asarray(q["q"], np.float32) * np.asarray(q["s"], np.float32)
+    err = np.abs(deq - np.asarray(w)) / (np.abs(np.asarray(w)).max(0) + 1e-9)
+    assert err.max() < 0.01  # <1% of per-channel max
+
+
+def test_quantized_mm_close_to_dense():
+    rng = np.random.RandomState(1)
+    x = jnp.array(rng.randn(8, 64).astype(np.float32))
+    w = jnp.array(rng.randn(64, 96).astype(np.float32))
+    got = np.asarray(mm(x, quantize_tensor(w)))
+    want = np.asarray(x @ w)
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 0.02
+
+
+def test_quantized_forward_close_and_generation_runs():
+    rng = np.random.RandomState(2)
+    params = init_aki(jax.random.PRNGKey(0), CFG)
+    qparams = quantize_params(params)
+    assert qparams["phi3"]["layers"]["wq"]["q"].dtype == jnp.int8
+
+    b, t = 1, 14
+    ids = rng.randint(5, CFG.initial_tokenizer_len - 1, size=(b, t))
+    ids[:, 1] = CFG.media_token_id
+    ids[:, 8] = CFG.assistant_token_id
+    valid = np.ones((b, t), np.int32)
+    s = CFG.siglip.image_size
+    imgs = rng.randn(b, s, s, 3).astype(np.float32)
+    A = (jnp.array(ids), jnp.array(imgs), jnp.array(valid))
+
+    fp = aki_forward(params, CFG, *A, policy=F32, use_flash=False)
+    q = aki_forward(qparams, CFG, *A, policy=F32, use_flash=False)
+    lf = np.asarray(fp.logits, np.float32)
+    lq = np.asarray(q.logits, np.float32)
+    rel = np.abs(lf - lq).max() / (np.abs(lf).max() + 1e-9)
+    assert rel < 0.1, rel  # random init is noise-sensitive; loose bound
+
+    toks, _ = generate(qparams, CFG, *A, max_new_tokens=4, max_len=48,
+                       policy=F32, use_flash=False)
+    assert np.asarray(toks).shape == (1, 4)
