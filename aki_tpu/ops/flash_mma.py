@@ -244,21 +244,36 @@ def _flash_fwd_impl(q, k, v, packed_spec, kv_valid_and_offset,
     return out.transpose(0, 2, 1, 3)[:, :t, :, :d]
 
 
+# Backward implementation: "flash" (Pallas kernels, no (T,S) matrices in
+# HBM) or "dense" (rematerialized oracle — exact but O(T^2) memory).
+BACKWARD_IMPL = "flash"
+
+
 def _flash_fwd(q, k, v, packed_spec, kv_valid_and_offset,
                causal, scale, block_q, block_kv, interpret):
     out = _flash_fwd_impl(
         q, k, v, packed_spec, kv_valid_and_offset,
         causal, scale, block_q, block_kv, interpret,
     )
-    return out, (q, k, v, packed_spec, kv_valid_and_offset)
+    return out, (q, k, v, out, packed_spec, kv_valid_and_offset)
 
 
 def _flash_bwd(causal, scale, block_q, block_kv, interpret, res, g):
-    from .attention import dense_attention
-
-    q, k, v, packed_spec, kv_valid_and_offset = res
+    q, k, v, out, packed_spec, kv_valid_and_offset = res
     img_start, txt_start, txt_end = packed_spec
     kv_valid, q_offset = kv_valid_and_offset
+
+    if BACKWARD_IMPL == "flash":
+        from .flash_mma_bwd import run_backward
+
+        dq, dk, dv = run_backward(
+            q, k, v, out, g, img_start, txt_start, txt_end, kv_valid,
+            q_offset, causal, scale, block_q, block_kv, interpret,
+        )
+        return dq, dk, dv, None, None
+
+    from .attention import dense_attention
+
     # non-causal mode: a (normalized, empty) spec would force causal masking
     spec = (
         MMASpec(img_start=img_start, txt_start=txt_start, txt_end=txt_end)

@@ -147,3 +147,45 @@ def test_flash_noncausal_grad():
     for a, b_ in zip(gf, gd):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_flash_bwd_matches_dense_bwd_matrix():
+    """Flash backward vs rematerialized-dense backward across GQA/padding/
+    multi-image cases."""
+    import aki_tpu.ops.flash_mma as fm
+
+    cases = [
+        dict(b=2, t=130, h=2, hkv=2, d=64, spec=[[5, 25, 40], [0, 30, 60]],
+             pad=7),
+        dict(b=1, t=150, h=8, hkv=2, d=32, spec=[[10, 50, 90]], pad=0),
+        dict(b=1, t=160, h=2, hkv=2, d=96, spec=[[5, 20, 35], [80, 100, 140]],
+             pad=11),
+    ]
+    for i, c in enumerate(cases):
+        rng = np.random.RandomState(20 + i)
+        q, k, v = rand_qkv(rng, c["b"], c["t"], c["t"], c["h"], c["d"],
+                           hkv=c["hkv"])
+        spec = spec_for(c["b"], [c["spec"][j % len(c["spec"])]
+                                 for j in range(c["b"])])
+        kv_valid = jnp.array(
+            np.concatenate([np.ones((c["b"], c["t"] - c["pad"])),
+                            np.zeros((c["b"], c["pad"]))], 1), jnp.int32)
+
+        def loss(q, k, v):
+            o = flash_mma_attention(q, k, v, spec=spec, kv_valid=kv_valid,
+                                    interpret=True, block_q=128, block_kv=128)
+            return jnp.sum(jnp.sin(o))
+
+        old = fm.BACKWARD_IMPL
+        try:
+            fm.BACKWARD_IMPL = "flash"
+            gf = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+            fm.BACKWARD_IMPL = "dense"
+            gd = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        finally:
+            fm.BACKWARD_IMPL = old
+        for a, b_ in zip(gf, gd):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-4,
+                err_msg=f"case {i}",
+            )
