@@ -210,3 +210,25 @@ def shard_sample_stream(
         yield from shuffled(raw(), shuffle_buffer, rng)
     else:
         yield from raw()
+
+
+def dataset_size(shards: str | Iterable[str]) -> int | None:
+    """Total sample count from shard metadata (reference ``get_dataset_size``,
+    ``data_utils.py:63-96``): a ``sizes.json`` mapping shard basename ->
+    count next to the shards, else a ``__len__`` file, else None."""
+    import json
+    from pathlib import Path
+
+    paths = [p for p in expand_shards(shards) if not p.startswith("pipe:")]
+    if not paths:
+        return None
+    d = Path(paths[0]).parent
+    sizes_file = d / "sizes.json"
+    if sizes_file.exists():
+        sizes = json.loads(sizes_file.read_text())
+        return sum(int(sizes[Path(p).name]) for p in paths
+                   if Path(p).name in sizes)
+    len_file = d / "__len__"
+    if len_file.exists():
+        return int(len_file.read_text().strip())
+    return None

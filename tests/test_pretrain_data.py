@@ -133,3 +133,20 @@ def test_prefetcher(tmp_path):
     except RuntimeError:
         pass
     assert out == [1]
+
+
+def test_dataset_size_metadata(tmp_path):
+    import json
+    from aki_tpu.data.tar_reader import dataset_size
+
+    for i in range(3):
+        make_shard(tmp_path / f"shard-{i:04d}.tar", 4)
+    pattern = str(tmp_path / "shard-{0000..0002}.tar")
+    assert dataset_size(pattern) is None  # no metadata yet
+    (tmp_path / "sizes.json").write_text(json.dumps({
+        f"shard-{i:04d}.tar": 4 for i in range(3)
+    }))
+    assert dataset_size(pattern) == 12
+    (tmp_path / "sizes.json").unlink()
+    (tmp_path / "__len__").write_text("11")
+    assert dataset_size(pattern) == 11
