@@ -27,9 +27,7 @@ from pathlib import Path
 import numpy as np
 
 from ..models.configs import AKIConfig, aki_4b
-from .torch_to_jax import (
-    convert_aki_checkpoint, convert_phi3, convert_phi3_lm_head, convert_siglip,
-)
+from .torch_to_jax import convert_aki_checkpoint, convert_siglip
 
 
 def load_torch_state_dict(path: str) -> dict:

@@ -13,9 +13,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import base64
 import io
-import json
 
 import numpy as np
 import jax

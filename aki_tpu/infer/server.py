@@ -21,15 +21,11 @@ from __future__ import annotations
 
 import dataclasses
 import queue
-import threading
-from functools import partial
-from typing import Any
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..models.aki import lm_logits
 from ..models.common import Policy
 from ..models.configs import AKIConfig
 from ..models.phi3 import KVCache

@@ -25,8 +25,6 @@ reference's spliced forward (``src/aki.py:125-130``).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ from __future__ import annotations
 import argparse
 
 import jax
-import numpy as np
 
 from ..configs.loader import load_config
 from ..data.pretrain import PretrainConfig, Prefetcher, batches

@@ -15,7 +15,6 @@ TPU-first analogues of the reference hot loop (``train_utils.py:214-287``):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable
 
 import jax
