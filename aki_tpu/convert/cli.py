@@ -80,8 +80,15 @@ def import_checkpoint(
 
     cfg = cfg or aki_4b()
     if phi3:
+        factors = rope_factors_from_config(phi3)
+        for key, val in factors.items():
+            baked = getattr(cfg.phi3, key)
+            if baked is not None and tuple(baked) != tuple(val):
+                print(f"WARNING: {key} from {phi3}/config.json differs from "
+                      "the baked-in Phi-3.5 factors; using the checkpoint's "
+                      "(authoritative) values")
         cfg = dataclasses.replace(
-            cfg, phi3=dataclasses.replace(cfg.phi3, **rope_factors_from_config(phi3))
+            cfg, phi3=dataclasses.replace(cfg.phi3, **factors)
         )
 
     sd, blob = load_torch_state_dict(torch_checkpoint)

@@ -27,7 +27,7 @@ from .images import decode_image, preprocess, zero_image
 from .tar_reader import expand_shards, shard_sample_stream
 
 IGNORE_INDEX = -100
-MIN_KB = 10
+MIN_KB = 3  # data.py:24 — images <= 3KB are dropped
 
 
 @dataclasses.dataclass
@@ -91,21 +91,34 @@ def preprocess_interleaved(info: dict, tokenizer, cfg: InterleavedConfig,
     while len(arrs) < cfg.max_num_images:
         arrs.append(zero_image(cfg.image_size))
 
+    # Byte-exact text construction (data.py:185-197): no-space prefixes,
+    # remove first eoc, then the whitespace-cleanup replace chain.
     for ix in sentence_ixs:
-        sentences[ix] = f"<|endofchunk|> <image> {sentences[ix]}"
+        sentences[ix] = f"<|endofchunk|><image>{sentences[ix]}"
     text = " ".join(sentences)
-    text = text.replace("<|endofchunk|> ", "", 1)
-    text = f"{text} <|endofchunk|>"
+    text = text.replace("<|endofchunk|>", "", 1)  # but remove first eoc
+    text = (
+        text.replace(" <|endofchunk|>", "<|endofchunk|>")
+        .replace("<image> ", "<image>")
+        .replace(" <image>", "<image>")
+    )
+    text = f"{text}<|endofchunk|>"
 
     ids = tokenizer.encode(text, add_bos=True)
-    ids = ids + [tokenizer.info.eos_id]
+    ids = ids + [tokenizer.info.eos_id]  # {tokenizer.eos_token} appended pre-tokenize in ref
     ids = ids[: cfg.max_tokens]
 
     media = tokenizer.info.media_id
     n_media = sum(1 for t in ids if t == media)
-    if n_media == 1 and ids[-1] == media:
+    # Reference checks position max_tokens-1 of the max_length-padded tensor
+    # (data.py:222-231): reject only if the single <image> sits at the very
+    # end of a full-length sequence.
+    if n_media == 1 and len(ids) == cfg.max_tokens and ids[-1] == media:
         raise ValueError("Only one image at the end of sample")
     if n_media == 0:
+        # Not reachable in the reference (it pads, never truncates away the
+        # first <image> in practice); guarded here because the static-shape
+        # splice downstream requires >= 1 media token.
         raise ValueError("No image token after truncation")
 
     return np.stack(arrs), ids

@@ -50,26 +50,29 @@ class PretrainConfig:
 
 
 def parse_caption(sample: dict, dataset_name: str) -> str | None:
-    """Dataset-specific caption extraction (data.py:68-101)."""
+    """Dataset-specific caption extraction, structure-exact vs data.py:77-94.
+
+    - cc3m/cc12m/blip3_kale: ``s.strip()``
+    - blip3_grounding_50m: ``literal_eval(s)[0][0].strip()``
+    - blip3_ocr_200m: ``json.loads(s)[1]['text'].strip()``
+
+    A parse failure skips the sample (the reference raises inside the wds
+    map, which log_and_continue swallows).
+    """
     raw = sample.get("txt")
     if raw is None:
         return None
     text = raw.decode("utf-8", errors="replace")
-    if dataset_name == "blip3_grounding_50m":
-        try:
-            data = ast.literal_eval(text)
-            text = data.get("caption", "") if isinstance(data, dict) else str(data)
-        except (ValueError, SyntaxError):
-            pass
-    elif dataset_name == "blip3_ocr_200m":
-        try:
-            data = json.loads(text)
-            caps = data.get("captions_format", data)
-            if isinstance(caps, dict):
-                text = caps.get("norm_caption", str(caps))
-        except json.JSONDecodeError:
-            pass
-    return text.strip()
+    try:
+        if dataset_name in ("cc3m", "cc12m", "blip3_kale"):
+            return text.strip()
+        if dataset_name == "blip3_grounding_50m":
+            return str(ast.literal_eval(text)[0][0]).strip()
+        if dataset_name == "blip3_ocr_200m":
+            return str(json.loads(text)[1]["text"]).strip()
+    except Exception:  # noqa: BLE001 — log_and_continue semantics
+        return None
+    raise NotImplementedError(f"Dataset {dataset_name} not supported")
 
 
 def has_image_and_caption(sample: dict) -> bool:
@@ -77,8 +80,9 @@ def has_image_and_caption(sample: dict) -> bool:
 
 
 def caption_text(caption: str) -> str:
-    """`<image>{caption}<|endofchunk|>` (data.py:79-82)."""
-    return f"<image> {caption} <|endofchunk|>"
+    """Byte-exact ``f"<image>{s.strip()}<|endofchunk|>"`` (data.py:80-82) —
+    no spaces around the special tokens; spaces change the SP token stream."""
+    return f"<image>{caption.strip()}<|endofchunk|>"
 
 
 @dataclasses.dataclass

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import hashlib
+import re
 
 MEDIA_TOKEN = "<image>"
 END_OF_CHUNK_TOKEN = "<|endofchunk|>"
@@ -111,20 +112,32 @@ class HashTokenizer:
         h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
         return lo + (h % (hi - lo))
 
+    # Special tokens split even without surrounding whitespace, like a real
+    # SentencePiece tokenizer with added special tokens ("<image>cap" must
+    # tokenize to [media, cap] — the reference templates have no spaces,
+    # data.py:80-82, 185-195).
+    _SPECIAL_RE = re.compile(
+        "(" + "|".join(re.escape(t) for t in
+                       [MEDIA_TOKEN, END_OF_CHUNK_TOKEN, ASSISTANT_TOKEN,
+                        USER_TOKEN, SYSTEM_TOKEN, END_TOKEN, PAD_TOKEN,
+                        BOS_TOKEN, EOS_TOKEN]) + ")"
+    )
+
     def encode(self, text: str, add_bos: bool = False) -> list[int]:
         ids = [self._special[BOS_TOKEN]] if add_bos else []
-        # split keeping special tokens intact
-        for chunk in text.replace("\n", " \\n ").split(" "):
-            if not chunk:
+        for piece in self._SPECIAL_RE.split(text):
+            if not piece:
                 continue
-            if chunk == MEDIA_TOKEN:
+            if piece == MEDIA_TOKEN:
                 ids.append(self._media_id)
-            elif chunk == END_OF_CHUNK_TOKEN:
+            elif piece == END_OF_CHUNK_TOKEN:
                 ids.append(self._eoc_id)
-            elif chunk in self._special:
-                ids.append(self._special[chunk])
+            elif piece in self._special:
+                ids.append(self._special[piece])
             else:
-                ids.append(self._word_id(chunk))
+                for chunk in piece.replace("\n", " \\n ").split(" "):
+                    if chunk:
+                        ids.append(self._word_id(chunk))
         return ids
 
     def decode(self, ids) -> str:

@@ -87,12 +87,16 @@ def test_shuffle_buffer_is_permutation():
 
 
 def test_caption_parsing():
-    assert parse_caption({"txt": b"hello world"}, "blip3_kale") == "hello world"
-    grounding = {"txt": repr({"caption": "a dog"}).encode()}
+    # structure-exact vs data.py:77-94
+    assert parse_caption({"txt": b" hello world "}, "blip3_kale") == "hello world"
+    grounding = {"txt": repr([["a dog", 1, True]]).encode()}
     assert parse_caption(grounding, "blip3_grounding_50m") == "a dog"
-    ocr = {"txt": json.dumps({"captions_format": {"norm_caption": "text here"}}).encode()}
+    ocr = {"txt": json.dumps([{"x": 0}, {"text": " text here "}]).encode()}
     assert parse_caption(ocr, "blip3_ocr_200m") == "text here"
-    assert caption_text("cap") == "<image> cap <|endofchunk|>"
+    # unparseable payloads skip the sample, not fall back to raw text
+    assert parse_caption({"txt": b"not a list"}, "blip3_grounding_50m") is None
+    assert parse_caption({"txt": b"not json"}, "blip3_ocr_200m") is None
+    assert caption_text(" cap ") == "<image>cap<|endofchunk|>"
 
 
 def test_pretrain_batches(tmp_path):
