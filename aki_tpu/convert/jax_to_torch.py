@@ -75,6 +75,18 @@ def export_aki_checkpoint(params: dict) -> dict:
     sd["lang_model.lm_head.additional_fc.weight"] = _np(
         params["extra_head"]["w"]
     ).T
+    # DecoupledLinear biases (bias=True in the reference): emit zeros when a
+    # scratch tree lacks them so the reference's strict load finds the keys
+    if "b" in params["lm_head"]:
+        sd["lang_model.lm_head.bias"] = _np(params["lm_head"]["b"])
+    else:
+        sd["lang_model.lm_head.bias"] = np.zeros(
+            sd["lang_model.lm_head.weight"].shape[0], np.float32)
+    if "b" in params["extra_head"]:
+        sd["lang_model.lm_head.additional_fc.bias"] = _np(params["extra_head"]["b"])
+    else:
+        sd["lang_model.lm_head.additional_fc.bias"] = np.zeros(
+            sd["lang_model.lm_head.additional_fc.weight"].shape[0], np.float32)
     return sd
 
 

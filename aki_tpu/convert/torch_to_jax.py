@@ -206,9 +206,22 @@ def convert_aki_checkpoint(model_sd: dict, cfg: AKIConfig) -> dict:
     params["extra_head"] = {
         "w": _t(sd["lang_model.lm_head.additional_fc.weight"])
     }
+    # DecoupledLinear is built with bias=True (helpers.py:494-586): the base
+    # head gains a bias (frozen at its nn.Linear init but part of the
+    # checkpoint numerics) and the extra head's bias is trained. Both must
+    # be carried or converted logits drift from the reference.
+    if "lang_model.lm_head.bias" in sd:
+        params["lm_head"]["b"] = _np(sd["lang_model.lm_head.bias"])
+    if "lang_model.lm_head.additional_fc.bias" in sd:
+        params["extra_head"]["b"] = _np(sd["lang_model.lm_head.additional_fc.bias"])
     params["perceiver"] = convert_perceiver(sd, cfg.perceiver.depth)
     if any(k.startswith("vision_encoder.") for k in sd):
-        params["siglip"] = convert_siglip(
-            sd, cfg.siglip, prefix="vision_encoder."
-        )
+        # factory.py:74-77 stores the *unwrapped* SiglipVisionTransformer
+        # (model.vision_model), so checkpoint keys read
+        # ``vision_encoder.embeddings.*`` with no ``vision_model.`` infix.
+        vsd = {
+            "vision_model." + k.removeprefix("vision_encoder."): v
+            for k, v in sd.items() if k.startswith("vision_encoder.")
+        }
+        params["siglip"] = convert_siglip(vsd, cfg.siglip)
     return params

@@ -104,9 +104,12 @@ def preprocess_interleaved(info: dict, tokenizer, cfg: InterleavedConfig,
     )
     text = f"{text}<|endofchunk|>"
 
-    ids = tokenizer.encode(text, add_bos=True)
-    ids = ids + [tokenizer.info.eos_id]  # {tokenizer.eos_token} appended pre-tokenize in ref
-    ids = ids[: cfg.max_tokens]
+    # Reference: f"{text}<|endofchunk|>{tokenizer.eos_token}" tokenized with
+    # add_bos/add_eos True -> [bos] + body + [eos_str_token] + [eos], with
+    # truncation reserving the bracketing specials (data.py:197-205).
+    eos = tokenizer.info.eos_id
+    body = tokenizer.encode(text) + [eos]
+    ids = [tokenizer.info.bos_id] + body[: cfg.max_tokens - 2] + [eos]
 
     media = tokenizer.info.media_id
     n_media = sum(1 for t in ids if t == media)

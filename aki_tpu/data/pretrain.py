@@ -30,6 +30,7 @@ import numpy as np
 
 from .images import decode_image, preprocess
 from .tar_reader import shard_sample_stream, expand_shards
+from .tokenizer import train_encode
 
 IGNORE_INDEX = -100
 IMAGE_EXTS = ("jpg", "jpeg", "png", "webp")
@@ -126,8 +127,9 @@ def sample_stream(
             )
         except Exception:  # noqa: BLE001 — log_and_continue semantics
             continue
-        ids = tokenizer.encode(caption_text(caption), add_bos=True)
-        ids = ids[: cfg.max_text_len]
+        # bos + body + eos, truncation reserving both specials (the
+        # reference tokenizer has add_bos_token = add_eos_token = True)
+        ids = train_encode(tokenizer, caption_text(caption), cfg.max_text_len)
         yield img, ids
 
 

@@ -94,7 +94,9 @@ class SFTDataset:
         """Tokenize + prompt-mask labels (base.py:65-95); additionally mask
         the framework special tokens anywhere in the target
         (SupervisedPrediction, losses.py:136-140)."""
-        ids = self.tokenizer.encode(text, add_bos=True)[: self.max_length]
+        from ..tokenizer import train_encode
+
+        ids = train_encode(self.tokenizer, text, self.max_length)
         asst = self.tokenizer.info.assistant_id
         try:
             split = ids.index(asst) + 1

@@ -177,6 +177,22 @@ class HashTokenizer:
         )
 
 
+def train_encode(tokenizer, text: str, max_length: int) -> list[int]:
+    """``[bos] + body + [eos]`` with HF's truncate-then-add-specials
+    semantics.
+
+    The reference factory sets ``add_bos_token = add_eos_token = True``
+    (factory.py:108-110), so every *training* tokenization (paired,
+    interleaved, SFT) brackets the text with bos/eos, and HF truncation
+    reserves room for both specials (body truncated to max_length - 2).
+    Eval/demo paths use ``add_special_tokens=False`` instead
+    (eval_cv_bench/eval.py:81, local_demo.py:69) — no bos, no eos.
+    """
+    body = tokenizer.encode(text)
+    body = body[: max_length - 2]
+    return [tokenizer.info.bos_id] + body + [tokenizer.info.eos_id]
+
+
 def load_tokenizer(path: str | None = None, vocab_size: int = 512):
     """HF tokenizer when a local path is given, hash fixture otherwise."""
     if path:

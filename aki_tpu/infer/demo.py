@@ -55,7 +55,7 @@ class DemoModel:
                temperature: float = 0.0) -> str:
         img = preprocess(decode_image(image_bytes), self.cfg.siglip.image_size)
         prompt = PROMPT.format(system=SYSTEM_MESSAGE, question=question)
-        ids = self.tokenizer.encode(prompt, add_bos=True)
+        ids = self.tokenizer.encode(prompt)  # reference eval/demo: add_special_tokens=False (eval.py:81)
         tokens, num = generate(
             self.params, self.cfg,
             jnp.array([ids], jnp.int32), jnp.array(img[None]),

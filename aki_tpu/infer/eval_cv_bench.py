@@ -100,7 +100,7 @@ def main(argv=None):
 
     for i, ex in enumerate(ds):
         prompt = render_prompt(ex["question"], ex["choices"])
-        ids = tokenizer.encode(prompt, add_bos=True)
+        ids = tokenizer.encode(prompt)  # reference eval/demo: add_special_tokens=False (eval.py:81)
         img = preprocess(ex["image"], img_size)
         input_ids = jnp.array([ids], jnp.int32)
         valid = jnp.ones_like(input_ids)

@@ -58,7 +58,7 @@ def main(argv=None):
             f"<|system|>\n{SYSTEM_MESSAGE}<|end|>\n<|user|>\n<image>\n"
             f"{r['question']}<|end|>\n<|assistant|>\n"
         )
-        ids = tok.encode(prompt, add_bos=True)
+        ids = tok.encode(prompt)  # reference eval/demo: add_special_tokens=False (eval.py:81)
         img = preprocess(
             decode_image(Path(r["image"]).read_bytes()),
             model.cfg.siglip.image_size,

@@ -88,7 +88,11 @@ def lm_logits(params: Params, cfg: AKIConfig, hidden: jax.Array,
     if not isinstance(head, dict):  # quantized heads pass through as-is
         head = head.astype(policy.compute_dtype)
     extra = params["extra_head"]["w"].astype(policy.compute_dtype)
-    return decoupled_logits(hidden, head, extra, cfg.initial_tokenizer_len)
+    return decoupled_logits(
+        hidden, head, extra, cfg.initial_tokenizer_len,
+        head_b=params["lm_head"].get("b"),
+        extra_b=params["extra_head"].get("b"),
+    )
 
 
 def next_token_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:

@@ -23,12 +23,18 @@ from .quant import mm, take_columns
 
 def init_decoupled(key, hidden: int, num_extra: int, vocab_size: int,
                    initializer_range: float = 0.02, dtype=jnp.float32) -> Params:
+    """The reference's DecoupledLinear is constructed with ``bias=True``
+    (helpers.py:494-586 default), so both the base head and the extra head
+    carry biases in every AKI checkpoint. Scratch init zeroes them (a no-op
+    until trained); the converter loads the checkpoint values."""
     k1, k2, k3 = jax.random.split(key, 3)
     s = initializer_range
     return {
         "extra_embed": {"table": jax.random.normal(k1, (num_extra, hidden), dtype) * s},
-        "lm_head": {"w": jax.random.normal(k2, (hidden, vocab_size), dtype) * s},
-        "extra_head": {"w": jax.random.normal(k3, (hidden, num_extra), dtype) * s},
+        "lm_head": {"w": jax.random.normal(k2, (hidden, vocab_size), dtype) * s,
+                    "b": jnp.zeros((vocab_size,), dtype)},
+        "extra_head": {"w": jax.random.normal(k3, (hidden, num_extra), dtype) * s,
+                       "b": jnp.zeros((num_extra,), dtype)},
     }
 
 
@@ -55,12 +61,19 @@ def decoupled_logits(
     head_w: jax.Array,
     extra_w: jax.Array,
     initial_tokenizer_len: int,
+    head_b: jax.Array | None = None,
+    extra_b: jax.Array | None = None,
 ) -> jax.Array:
     """Logits over initial_tokenizer_len + num_extra ids (helpers.py:594-603).
 
     The base head is truncated to the live vocab *before* the matmul — the
-    dead padded columns (32011..32063 for Phi-3.5) never cost FLOPs.
+    dead padded columns (32011..32063 for Phi-3.5) never cost FLOPs. Biases
+    (DecoupledLinear bias=True) add after, truncated the same way.
     """
     base = mm(hidden, take_columns(head_w, initial_tokenizer_len))
+    if head_b is not None:
+        base = base + head_b[:initial_tokenizer_len].astype(base.dtype)
     extra = hidden @ extra_w
+    if extra_b is not None:
+        extra = extra + extra_b.astype(extra.dtype)
     return jnp.concatenate([base, extra], axis=-1)

@@ -85,7 +85,7 @@ class AKIModel:
             f"<|system|>\n{SYSTEM_MESSAGE}<|end|>\n<|user|>\n<image>\n"
             f"{question}<|end|>\n<|assistant|>\n"
         )
-        ids = self.tokenizer.encode(prompt, add_bos=True)
+        ids = self.tokenizer.encode(prompt)  # reference eval/demo: add_special_tokens=False (eval.py:81)
         img = preprocess(decode_image(image_bytes), self.cfg.siglip.image_size)
         tokens, num = self.generate(
             [ids], img[None], max_new_tokens=max_new_tokens,

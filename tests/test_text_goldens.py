@@ -90,8 +90,12 @@ def test_interleaved_text_byte_equal():
     cfg = InterleavedConfig(shards="x", image_size=28, max_tokens=128)
     _, ids = preprocess_interleaved(info, tok, cfg, np.random.RandomState(0))
 
+    # reference appends {eos_token} to the text, then the tokenizer (with
+    # add_bos/add_eos True) brackets with bos/eos -> double eos at the end
     golden = reference_interleaved_text(sents, [1, 2])
-    want = tok.encode(golden, add_bos=True) + [tok.info.eos_id]
+    eos = tok.info.eos_id
+    body = tok.encode(golden) + [eos]
+    want = [tok.info.bos_id] + body[: cfg.max_tokens - 2] + [eos]
     assert ids == want
 
 
