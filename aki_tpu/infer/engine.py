@@ -31,7 +31,7 @@ from ..models.aki import embed_text, encode_vision, lm_logits
 from ..models.common import Policy
 from ..models.configs import AKIConfig
 from ..models.fusion import splice_vision_tokens
-from ..models.phi3 import KVCache, phi3_forward
+from ..models.phi3 import KVCache, KVCacheQ, phi3_forward
 from .sampling import SamplingConfig, sample
 
 
@@ -55,8 +55,14 @@ def prefill(
     use_flash: bool | None = None,
     order: str = "image_first",
     vision_tokens: jax.Array | None = None,
+    kv_int8: bool = False,
 ) -> GenState:
-    """Run the prompt through the model, filling the KV cache."""
+    """Run the prompt through the model, filling the KV cache.
+
+    ``kv_int8=True`` stores the cache as per-(token, head) int8 — halves
+    the decode cache-read bytes; decode then runs the fused Pallas kernel
+    (``ops/decode_attention.py``) that never dequantizes into HBM.
+    """
     b, t_txt = input_ids.shape
     if vision_tokens is None:
         vision_tokens = encode_vision(params, cfg, images, policy)
@@ -68,7 +74,10 @@ def prefill(
     t_full = sp.embeds.shape[1]
     assert max_len >= t_full, "cache shorter than prompt"
 
-    cache = KVCache.create(cfg.phi3, b, max_len, dtype=policy.compute_dtype)
+    if kv_int8:
+        cache = KVCacheQ.create(cfg.phi3, b, max_len)
+    else:
+        cache = KVCache.create(cfg.phi3, b, max_len, dtype=policy.compute_dtype)
     kv_valid = jnp.zeros((b, max_len), jnp.int32)
     kv_valid = jax.lax.dynamic_update_slice(kv_valid, sp.attn_valid, (0, 0))
 
@@ -126,7 +135,7 @@ def decode_step(
     jax.jit,
     static_argnames=(
         "cfg", "max_new_tokens", "max_len", "sampling", "policy", "use_flash",
-        "order",
+        "order", "kv_int8",
     ),
 )
 def generate(
@@ -143,6 +152,7 @@ def generate(
     policy: Policy = Policy(),
     use_flash: bool | None = None,
     order: str = "image_first",
+    kv_int8: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Batched generation.
 
@@ -156,7 +166,7 @@ def generate(
 
     state = prefill(
         params, cfg, input_ids, images, attn_valid, max_len,
-        policy=policy, use_flash=use_flash, order=order,
+        policy=policy, use_flash=use_flash, order=order, kv_int8=kv_int8,
     )
     b = input_ids.shape[0]
 

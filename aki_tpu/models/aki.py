@@ -84,8 +84,10 @@ def embed_text(params: Params, cfg: AKIConfig, ids: jax.Array,
 
 def lm_logits(params: Params, cfg: AKIConfig, hidden: jax.Array,
               policy: Policy = Policy()) -> jax.Array:
+    from .quant import is_quantized
+
     head = params["lm_head"]["w"]
-    if not isinstance(head, dict):  # quantized heads pass through as-is
+    if not is_quantized(head):  # quantized heads pass through as-is
         head = head.astype(policy.compute_dtype)
     extra = params["extra_head"]["w"].astype(policy.compute_dtype)
     return decoupled_logits(

@@ -55,6 +55,41 @@ class KVCache:
         return self.k.shape[2]
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCacheQ:
+    """Int8 KV cache in the flat layout (L, B, S, H_kv*D) — all heads of
+    a token are one contiguous row, which is what lets the decode kernel
+    do one block-diagonal MXU dot for all heads
+    (ops/decode_attention.py). Per-(token, head) scales are
+    (L, B, H_kv, S) f32.
+
+    Phi-3-mini is MHA (32 KV heads x 96 dims — ~196 KB/token in int8), so
+    cache reads rival the weight reads at decode; int8 (nearly) halves
+    those bytes and the fused kernel never materializes a dequantized
+    copy.
+    """
+
+    k: jax.Array   # int8 (L, B, S, Hkv*D)
+    ks: jax.Array  # f32  (L, B, Hkv, S)
+    v: jax.Array   # int8
+    vs: jax.Array  # f32
+
+    @staticmethod
+    def create(cfg: Phi3Config, batch: int, max_len: int):
+        shape = (cfg.num_layers, batch, max_len,
+                 cfg.num_kv_heads * cfg.head_dim)
+        sshape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len)
+        return KVCacheQ(
+            k=jnp.zeros(shape, jnp.int8), ks=jnp.ones(sshape, jnp.float32),
+            v=jnp.zeros(shape, jnp.int8), vs=jnp.ones(sshape, jnp.float32),
+        )
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
 def init_phi3(key, cfg: Phi3Config, dtype=jnp.float32) -> Params:
     """Stacked-layer params. Kernels are (in, out)."""
     d, nh, nkv, dh = cfg.hidden_size, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -98,6 +133,29 @@ def _scatter_cache(cache: jax.Array, new: jax.Array, layer: jax.Array,
     )
 
 
+def _scatter_flat(cache: jax.Array, new: jax.Array, layer: jax.Array,
+                  positions: jax.Array) -> jax.Array:
+    """Scatter (B, T, F) rows into the flat (L, B, S, F) cache at
+    ``[layer, b, positions[b, t]]``."""
+    b = new.shape[0]
+    bidx = jnp.arange(b)[:, None]
+    return cache.at[layer, bidx, positions].set(
+        new.astype(cache.dtype), mode="drop"
+    )
+
+
+def _scatter_scale_hm(cache: jax.Array, new: jax.Array, layer: jax.Array,
+                      positions: jax.Array) -> jax.Array:
+    """Scatter (B, T, H) scales into (L, B, H, S)."""
+    b, t, h = new.shape
+    bidx = jnp.arange(b)[:, None, None]
+    hidx = jnp.arange(h)[None, :, None]
+    pidx = positions[:, None, :]
+    return cache.at[layer, bidx, hidx, pidx].set(
+        new.transpose(0, 2, 1).astype(cache.dtype), mode="drop"
+    )
+
+
 def _attention_layer(
     x: jax.Array,
     lp: Params,
@@ -107,7 +165,8 @@ def _attention_layer(
     spec: MMASpec | None,
     kv_valid: jax.Array | None,
     q_offset,
-    cache_kv: tuple | None,   # (ck, cv, layer_idx, write_positions)
+    cache_kv: tuple | None,   # ("bf16", ck, cv, li, wpos) or
+                              # ("q8", k8, ks, v8, vs, li, wpos)
     use_flash: bool,
     eps: float,
 ):
@@ -122,8 +181,51 @@ def _attention_layer(
     k = apply_rope(k, cos, sin)
 
     new_cache = None
-    if cache_kv is not None:
-        ck, cv, li, wpos = cache_kv
+    attn = None
+    kv_valid_att = kv_valid
+    if cache_kv is not None and cache_kv[0] == "q8":
+        from ..ops.decode_attention import (
+            decode_attention_flat, quantize_kv_flat,
+        )
+
+        _, ck8, cks, cv8, cvs, li, wpos = cache_kv
+        k8, ksc = quantize_kv_flat(k)
+        v8, vsc = quantize_kv_flat(v)
+        if t == 1:
+            ck8 = _scatter_flat(ck8, k8, li, wpos)
+            cks = _scatter_scale_hm(cks, ksc, li, wpos)
+            cv8 = _scatter_flat(cv8, v8, li, wpos)
+            cvs = _scatter_scale_hm(cvs, vsc, li, wpos)
+            # fused decode over the int8 cache — the kernel indexes the
+            # stacked buffers at [li] in its BlockSpec (zero-copy; a
+            # wrapper-level dynamic_slice would materialize the layer)
+            lengths = jnp.broadcast_to(
+                jnp.asarray(q_offset, jnp.int32), (b,)
+            ) + 1
+            attn = decode_attention_flat(
+                q, ck8, cks, cv8, cvs, lengths, li,
+            )
+        else:
+            # prefill: quantize+store the whole block (one contiguous
+            # DUS); attention runs on the local bf16 K/V — no need to
+            # read the quantized copy back
+            ck8 = jax.lax.dynamic_update_slice(
+                ck8, k8[None], (li, 0, 0, 0)
+            )
+            cks = jax.lax.dynamic_update_slice(
+                cks, ksc.transpose(0, 2, 1)[None], (li, 0, 0, 0)
+            )
+            cv8 = jax.lax.dynamic_update_slice(
+                cv8, v8[None], (li, 0, 0, 0)
+            )
+            cvs = jax.lax.dynamic_update_slice(
+                cvs, vsc.transpose(0, 2, 1)[None], (li, 0, 0, 0)
+            )
+            k_att, v_att = k, v
+            kv_valid_att = kv_valid[:, :t] if kv_valid is not None else None
+        new_cache = (ck8, cks, cv8, cvs)
+    elif cache_kv is not None:
+        _, ck, cv, li, wpos = cache_kv
         if t == 1:
             # decode: scatter-write B rows (in-place on aliased buffers)
             ck = _scatter_cache(ck, k, li, wpos)
@@ -144,16 +246,19 @@ def _attention_layer(
     else:
         k_att, v_att = k, v
 
-    if use_flash:
-        from ..ops.flash_mma import flash_mma_attention
+    if attn is None:
+        if use_flash:
+            from ..ops.flash_mma import flash_mma_attention
 
-        attn = flash_mma_attention(
-            q, k_att, v_att, spec=spec, kv_valid=kv_valid, q_offset=q_offset
-        )
-    else:
-        attn = dense_attention(
-            q, k_att, v_att, spec=spec, kv_valid=kv_valid, q_offset=q_offset
-        )
+            attn = flash_mma_attention(
+                q, k_att, v_att, spec=spec, kv_valid=kv_valid_att,
+                q_offset=q_offset,
+            )
+        else:
+            attn = dense_attention(
+                q, k_att, v_att, spec=spec, kv_valid=kv_valid_att,
+                q_offset=q_offset,
+            )
     out = mm(attn.reshape(b, t, nh * dh), lp["wo"])
     x = x + out
 
@@ -216,20 +321,36 @@ def phi3_forward(
         t = inputs_embeds.shape[1]
         wpos = jnp.asarray(cache_index, jnp.int32)[:, None] + jnp.arange(t)[None]
 
-        def body_cached(carry, scanned):
-            x, ck, cv = carry
-            lp, li = scanned
-            y, new_kv = _attention_layer(
-                x, lp, cos, sin, cfg, spec, kv_valid, q_offset,
-                (ck, cv, li, wpos), use_flash, eps,
-            )
-            return (y, new_kv[0], new_kv[1]), None
+        if isinstance(cache, KVCacheQ):
+            def body_q8(carry, scanned):
+                x, k8, ks, v8, vs = carry
+                lp, li = scanned
+                y, new_kv = _attention_layer(
+                    x, lp, cos, sin, cfg, spec, kv_valid, q_offset,
+                    ("q8", k8, ks, v8, vs, li, wpos), use_flash, eps,
+                )
+                return (y, *new_kv), None
 
-        (x, new_k, new_v), _ = jax.lax.scan(
-            body_cached, (x, cache.k, cache.v),
-            (layers, jnp.arange(cfg.num_layers)),
-        )
-        new_cache = KVCache(k=new_k, v=new_v)
+            (x, k8, ks, v8, vs), _ = jax.lax.scan(
+                body_q8, (x, cache.k, cache.ks, cache.v, cache.vs),
+                (layers, jnp.arange(cfg.num_layers)),
+            )
+            new_cache = KVCacheQ(k=k8, ks=ks, v=v8, vs=vs)
+        else:
+            def body_cached(carry, scanned):
+                x, ck, cv = carry
+                lp, li = scanned
+                y, new_kv = _attention_layer(
+                    x, lp, cos, sin, cfg, spec, kv_valid, q_offset,
+                    ("bf16", ck, cv, li, wpos), use_flash, eps,
+                )
+                return (y, new_kv[0], new_kv[1]), None
+
+            (x, new_k, new_v), _ = jax.lax.scan(
+                body_cached, (x, cache.k, cache.v),
+                (layers, jnp.arange(cfg.num_layers)),
+            )
+            new_cache = KVCache(k=new_k, v=new_v)
     else:
         def body(x, lp):
             y, _ = _attention_layer(

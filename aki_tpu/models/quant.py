@@ -1,18 +1,30 @@
-"""Weight-only int8 quantization for serving.
+"""Int8 quantization for serving: weight-only (w8) and dynamic W8A8.
 
-Decode on v5e is weight-read bound (~7.2 GB of bf16 decoder weights per
-step); per-output-channel symmetric int8 halves those bytes.  Quantized
-kernels are ``{"q": int8 (in, out), "s": (1, out) bf16}``; matmuls convert
-tiles on the fly (``x @ q.astype(bf16) * s``), so the MXU still runs bf16
-and accuracy stays near-lossless (max-abs per channel).
+Two modes, selected at :func:`quantize_params` time:
+
+- **w8** (weight-only, default): kernels become :class:`QuantTensor`
+  (``q``: int8 (in, out), ``s``: (1, out) bf16); matmuls convert tiles on
+  the fly (``x @ q.astype(bf16) * s``) — the MXU runs bf16, accuracy is
+  near-lossless (per-output-channel max-abs), and decode weight reads
+  halve (v5e decode is weight-read bound, ~7.2 GB of bf16 decoder weights
+  per step).
+- **w8a8** (dynamic activation quant): ``a8=True`` on the tensor;
+  :func:`mm` quantizes activations per token row (symmetric max-abs over
+  the hidden dim) and issues an int8 x int8 ``dot_general`` with
+  ``preferred_element_type=int32`` — on v5e this runs the MXU's native
+  int8 path at ~2x the bf16 peak, which is what lets *prefill*
+  (compute-bound) beat the bf16 MFU wall. The output rescales by
+  ``s_act (rows) * s_w (cols)`` in one fused multiply.
 
 Only the big decoder matmuls and the LM head quantize; embeddings, norms,
-the vision tower (prefill-bound, compute-heavy) and the perceiver stay
-bf16.  The forward path is polymorphic through :func:`mm` — the same model
-code serves both representations, so training is untouched.
+the vision tower and the perceiver stay bf16.  The forward path is
+polymorphic through :func:`mm` — the same model code serves all three
+representations, so training is untouched.
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -20,45 +32,85 @@ import jax.numpy as jnp
 QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
-def quantize_tensor(w: jax.Array) -> dict:
+@dataclasses.dataclass
+class QuantTensor:
+    """Int8 kernel + per-output-channel scale; ``a8`` (static metadata)
+    switches :func:`mm` to the dynamic-activation int8 x int8 path."""
+
+    q: jax.Array
+    s: jax.Array
+    a8: bool = False
+
+
+jax.tree_util.register_dataclass(
+    QuantTensor, data_fields=["q", "s"], meta_fields=["a8"]
+)
+
+
+def quantize_tensor(w: jax.Array, a8: bool = False) -> QuantTensor:
     """Per-output-channel symmetric int8 over the last dim's columns.
 
-    w: (..., in, out) -> {"q": int8 same shape, "s": (..., 1, out)}.
+    w: (..., in, out) -> QuantTensor(q int8 same shape, s (..., 1, out)).
     """
     w32 = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)
     scale = jnp.where(amax == 0, 1.0, amax / 127.0)
     q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
-    return {"q": q, "s": scale.astype(jnp.bfloat16)}
+    return QuantTensor(q=q, s=scale.astype(jnp.bfloat16), a8=a8)
 
 
 def is_quantized(w) -> bool:
-    return isinstance(w, dict) and "q" in w and "s" in w
+    return isinstance(w, QuantTensor)
+
+
+def quantize_acts(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-row (token) symmetric int8 over the last dim."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+    q = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def mm(x: jax.Array, w) -> jax.Array:
     """x @ w for plain or quantized kernels."""
     if is_quantized(w):
-        y = x @ w["q"].astype(x.dtype)
-        return y * w["s"].astype(x.dtype)
+        if w.a8:
+            xq, sx = quantize_acts(x)
+            y = jax.lax.dot_general(
+                xq, w.q,
+                (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return (
+                y.astype(jnp.float32) * sx * w.s.astype(jnp.float32)
+            ).astype(x.dtype)
+        y = x @ w.q.astype(x.dtype)
+        return y * w.s.astype(x.dtype)
     return x @ w
 
 
 def take_columns(w, end: int):
     """w[:, :end] for plain or quantized kernels (LM head truncation)."""
     if is_quantized(w):
-        return {"q": w["q"][..., :end], "s": w["s"][..., :end]}
+        return QuantTensor(q=w.q[..., :end], s=w.s[..., :end], a8=w.a8)
     return w[..., :end]
 
 
-def quantize_params(params: dict) -> dict:
-    """Quantize the decoder matmuls + LM head of a full AKI param tree."""
+def quantize_params(params: dict, mode: str = "w8") -> dict:
+    """Quantize the decoder matmuls + LM head of a full AKI param tree.
+
+    mode: "w8" (weight-only) or "w8a8" (dynamic activation quant too).
+    """
+    a8 = mode == "w8a8"
     out = dict(params)
     phi3 = dict(params["phi3"])
     layers = dict(phi3["layers"])
     for k in QUANT_KEYS:
-        layers[k] = quantize_tensor(layers[k])
+        layers[k] = quantize_tensor(layers[k], a8=a8)
     phi3["layers"] = layers
     out["phi3"] = phi3
-    out["lm_head"] = {"w": quantize_tensor(params["lm_head"]["w"])}
+    out["lm_head"] = {"w": quantize_tensor(params["lm_head"]["w"], a8=a8),
+                      **({"b": params["lm_head"]["b"]}
+                         if "b" in params["lm_head"] else {})}
     return out

@@ -1,0 +1,166 @@
+"""Fused int8-KV decode attention: kernel vs dense oracle + engine path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aki_tpu.infer.engine import decode_step, generate, prefill
+from aki_tpu.models.aki import init_aki
+from aki_tpu.models.common import F32
+from aki_tpu.models.configs import aki_tiny
+from aki_tpu.ops.decode_attention import (
+    build_qblock, decode_attention_flat, quantize_kv_flat,
+)
+
+CFG = aki_tiny()
+
+
+def _oracle(q, kf, ks, vf, vs, kv_valid, d):
+    """Dense softmax over the dequantized flat cache (numpy, fp64).
+
+    q is fp — the kernel quantizes q and the probability rows to int8, so
+    comparisons use a tolerance.
+    """
+    b, _, h, _ = q.shape
+    hkv = ks.shape[1]
+    g = h // hkv
+    s_len = kf.shape[1]
+    k = kf.reshape(b, s_len, hkv, d).astype(np.float64)
+    v = vf.reshape(b, s_len, hkv, d).astype(np.float64)
+    k = k * ks.transpose(0, 2, 1)[..., None]   # (B, S, Hkv, d)
+    v = v * vs.transpose(0, 2, 1)[..., None]
+    out = np.zeros((b, 1, h, d))
+    for bi in range(b):
+        for hi in range(h):
+            kk, vv = k[bi, :, hi // g], v[bi, :, hi // g]
+            s = (q[bi, 0, hi].astype(np.float64) @ kk.T) * (d ** -0.5)
+            s = np.where(kv_valid[bi] != 0, s, -1e30)
+            p = np.exp(s - s.max())
+            p = np.where(kv_valid[bi] != 0, p, 0.0)
+            out[bi, 0, hi] = (p / p.sum()) @ vv
+    return out
+
+
+def _flat_cache(rng, b, s, hkv, d):
+    k = rng.randn(b, s, hkv, d).astype(np.float32)
+    v = rng.randn(b, s, hkv, d).astype(np.float32)
+    kf, ks = quantize_kv_flat(jnp.asarray(k))   # (B, S, Hkv*DP), (B, S, Hkv)
+    vf, vs = quantize_kv_flat(jnp.asarray(v))
+    ks = jnp.transpose(ks, (0, 2, 1))           # (B, Hkv, S)
+    vs = jnp.transpose(vs, (0, 2, 1))
+    return kf, ks, vf, vs
+
+
+def test_kernel_matches_dense_oracle():
+    rng = np.random.RandomState(0)
+    b, h, hkv, s, d = 2, 4, 2, 40, 16
+    q = rng.randn(b, 1, h, d).astype(np.float32)
+    kf, ks, vf, vs = _flat_cache(rng, b, s, hkv, d)
+    lengths = np.array([25, 37], np.int32)
+    kv_valid = (np.arange(s)[None] < lengths[:, None]).astype(np.int32)
+
+    got = decode_attention_flat(
+        jnp.asarray(q), kf[None], ks[None], vf[None], vs[None],
+        jnp.asarray(lengths), jnp.zeros((), jnp.int32), interpret=True,
+    )
+    want = _oracle(q, np.asarray(kf), np.asarray(ks), np.asarray(vf),
+                   np.asarray(vs), kv_valid, d)
+    # q and the probability rows are int8-quantized in the kernel
+    np.testing.assert_allclose(np.asarray(got), want, rtol=0.03, atol=0.03)
+
+
+def test_kernel_layer_select_and_block_skip():
+    """The scalar-prefetched layer index picks the right cache layer, and
+    slots past `lengths` contribute nothing even when poisoned."""
+    rng = np.random.RandomState(1)
+    b, h, hkv, s, d, L = 1, 2, 2, 256, 16, 3
+    q = jnp.asarray(rng.randn(b, 1, h, d).astype(np.float32))
+    layers = [_flat_cache(rng, b, s, hkv, d) for _ in range(L)]
+    kf = jnp.stack([x[0] for x in layers])
+    ks = jnp.stack([x[1] for x in layers])
+    vf = jnp.stack([x[2] for x in layers])
+    vs = jnp.stack([x[3] for x in layers])
+    lengths = jnp.asarray([120], jnp.int32)
+    valid = (np.arange(s)[None] < 120).astype(np.int32)
+
+    for li in range(L):
+        got = decode_attention_flat(
+            q, kf, ks, vf, vs, lengths,
+            jnp.asarray(li, jnp.int32), block_kv=128, interpret=True,
+        )
+        want = _oracle(q, np.asarray(kf[li]), np.asarray(ks[li]),
+                       np.asarray(vf[li]), np.asarray(vs[li]), valid, d)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=0.03,
+                                   atol=0.03, err_msg=f"layer {li}")
+
+    # poison the region past length: block 1 (slots 128..255) is skipped
+    kf_b = kf.at[:, :, 150:, :].set(127)
+    vf_b = vf.at[:, :, 150:, :].set(127)
+    out_a = decode_attention_flat(q, kf, ks, vf, vs,
+                                  lengths, jnp.asarray(0, jnp.int32),
+                                  block_kv=128, interpret=True)
+    out_b = decode_attention_flat(q, kf_b, ks, vf_b, vs,
+                                  lengths, jnp.asarray(0, jnp.int32),
+                                  block_kv=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_build_qblock_is_block_diagonal():
+    rng = np.random.RandomState(2)
+    b, h, hkv, d = 2, 4, 2, 16
+    q = jnp.asarray(rng.randn(b, 1, h, d).astype(np.float32))
+    qb, qs = build_qblock(q, hkv)
+    assert qb.shape == (b, h, hkv * d) and qb.dtype == jnp.int8
+    qb = np.asarray(qb)
+    for hi in range(h):
+        blk = hi // (h // hkv)
+        row = qb[0, hi].reshape(hkv, d)
+        assert (row[np.arange(hkv) != blk] == 0).all()
+        deq = row[blk].astype(np.float32) * float(qs[0, hi])
+        np.testing.assert_allclose(deq, np.asarray(q)[0, 0, hi], atol=0.02)
+
+
+def _batch(rng, b=2, t=14):
+    ids = rng.randint(5, CFG.initial_tokenizer_len - 1, size=(b, t))
+    ids[:, 1] = CFG.media_token_id
+    ids[:, 8] = CFG.assistant_token_id
+    valid = np.ones((b, t), np.int32)
+    s = CFG.siglip.image_size
+    imgs = rng.randn(b, s, s, 3).astype(np.float32)
+    return jnp.array(ids), jnp.array(imgs), jnp.array(valid)
+
+
+def test_engine_kv_int8_close_to_bf16_path():
+    """Teacher-forced decode with the int8 cache tracks the fp32 engine
+    within quantization error."""
+    rng = np.random.RandomState(2)
+    params = init_aki(jax.random.PRNGKey(0), CFG)
+    ids, imgs, valid = _batch(rng)
+
+    s_fp = prefill(params, CFG, ids, imgs, valid, max_len=48, policy=F32,
+                   use_flash=False)
+    s_q8 = prefill(params, CFG, ids, imgs, valid, max_len=48, policy=F32,
+                   use_flash=False, kv_int8=True)
+    np.testing.assert_allclose(
+        np.asarray(s_q8.last_logits), np.asarray(s_fp.last_logits),
+        rtol=2e-2, atol=2e-2,
+    )
+    forced = rng.randint(5, CFG.initial_tokenizer_len - 1, size=(4, 2))
+    for step in range(4):
+        tok = jnp.asarray(forced[step], jnp.int32)
+        s_fp = decode_step(params, CFG, s_fp, tok, policy=F32)
+        s_q8 = decode_step(params, CFG, s_q8, tok, policy=F32)
+        lf = np.asarray(s_fp.last_logits)
+        lq = np.asarray(s_q8.last_logits)
+        rel = np.abs(lf - lq).max() / (np.abs(lf).max() + 1e-9)
+        assert rel < 0.05, (step, rel)
+
+
+def test_generate_kv_int8_runs_and_matches_shapes():
+    rng = np.random.RandomState(3)
+    params = init_aki(jax.random.PRNGKey(1), CFG)
+    A = _batch(rng, b=1)
+    toks, num = generate(params, CFG, *A, max_new_tokens=5, max_len=48,
+                         policy=F32, use_flash=False, kv_int8=True)
+    assert np.asarray(toks).shape == (1, 5)
+    assert int(num[0]) <= 5
