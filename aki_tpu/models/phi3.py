@@ -174,9 +174,17 @@ def _attention_layer(
     nh, nkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     h = rmsnorm(lp["ln1"], x, eps)
-    q = mm(h, lp["wq"]).reshape(b, t, nh, dh)
-    k = mm(h, lp["wk"]).reshape(b, t, nkv, dh)
-    v = mm(h, lp["wv"]).reshape(b, t, nkv, dh)
+    if "wqkv" in lp:
+        # serving-time fused QKV (quantize_params fuse=True): one
+        # activation-quantize + one wide MXU dot
+        qkv = mm(h, lp["wqkv"])
+        q = qkv[..., : nh * dh].reshape(b, t, nh, dh)
+        k = qkv[..., nh * dh: (nh + nkv) * dh].reshape(b, t, nkv, dh)
+        v = qkv[..., (nh + nkv) * dh:].reshape(b, t, nkv, dh)
+    else:
+        q = mm(h, lp["wq"]).reshape(b, t, nh, dh)
+        k = mm(h, lp["wk"]).reshape(b, t, nkv, dh)
+        v = mm(h, lp["wv"]).reshape(b, t, nkv, dh)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -263,8 +271,13 @@ def _attention_layer(
     x = x + out
 
     h2 = rmsnorm(lp["ln2"], x, eps)
-    gate = mm(h2, lp["w_gate"])
-    up = mm(h2, lp["w_up"])
+    if "w_gateup" in lp:
+        gu = mm(h2, lp["w_gateup"])
+        inter = gu.shape[-1] // 2
+        gate, up = gu[..., :inter], gu[..., inter:]
+    else:
+        gate = mm(h2, lp["w_gate"])
+        up = mm(h2, lp["w_up"])
     mlp = mm(
         jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
         lp["w_down"],

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from ..ops.attention import dense_attention
 from .common import Params, Policy, layernorm
 from .configs import SigLIPVisionConfig
+from .quant import mm
 
 
 def init_siglip(key, cfg: SigLIPVisionConfig, dtype=jnp.float32) -> Params:
@@ -96,20 +97,27 @@ def siglip_forward(
     def body(x, lp):
         b, t, d = x.shape
         h = layernorm(lp["ln1"], x, eps)
-        q = (h @ lp["wq"] + lp["bq"]).reshape(b, t, nh, dh)
-        k = (h @ lp["wk"] + lp["bk"]).reshape(b, t, nh, dh)
-        v = (h @ lp["wv"] + lp["bv"]).reshape(b, t, nh, dh)
+        if "wqkv" in lp:
+            # serving-time fused+quantized QKV (models/quant.py)
+            qkv = mm(h, lp["wqkv"]) + lp["bqkv"]
+            q = qkv[..., :d].reshape(b, t, nh, dh)
+            k = qkv[..., d:2 * d].reshape(b, t, nh, dh)
+            v = qkv[..., 2 * d:].reshape(b, t, nh, dh)
+        else:
+            q = (mm(h, lp["wq"]) + lp["bq"]).reshape(b, t, nh, dh)
+            k = (mm(h, lp["wk"]) + lp["bk"]).reshape(b, t, nh, dh)
+            v = (mm(h, lp["wv"]) + lp["bv"]).reshape(b, t, nh, dh)
         if use_flash:
             from ..ops.flash_mma import flash_mma_attention
 
             attn = flash_mma_attention(q, k, v, causal=False)
         else:
             attn = dense_attention(q, k, v, causal=False)
-        x = x + (attn.reshape(b, t, d) @ lp["wo"] + lp["bo"])
+        x = x + (mm(attn.reshape(b, t, d), lp["wo"]) + lp["bo"])
         h2 = layernorm(lp["ln2"], x, eps)
-        h2 = h2 @ lp["fc1"]["w"] + lp["fc1"]["b"]
+        h2 = mm(h2, lp["fc1"]["w"]) + lp["fc1"]["b"]
         h2 = jax.nn.gelu(h2.astype(jnp.float32), approximate=True).astype(x.dtype)
-        x = x + (h2 @ lp["fc2"]["w"] + lp["fc2"]["b"])
+        x = x + (mm(h2, lp["fc2"]["w"]) + lp["fc2"]["b"])
         return x, None
 
     x, _ = jax.lax.scan(body, x, pp["layers"])

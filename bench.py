@@ -15,8 +15,13 @@ eager AKI-4B at bs8, ~35% MFU prefill + memory-bound decode on 2 TB/s HBM
 Env knobs:
   AKI_BENCH_BATCH   batch size (default 16)
   AKI_BENCH_QUANT   w8 | w8a8 | bf16   (default w8a8: dynamic-int8 matmuls
-                    on the MXU's native int8 path)
-  AKI_BENCH_KV8     1 -> int8 KV cache + fused Pallas decode kernel
+                    on the MXU's native int8 path, vision tower included)
+  AKI_BENCH_KV8     1 -> int8 KV cache + fused Pallas decode kernel.
+                    Default 0: at bs16 the bf16 cache read through XLA
+                    (~530 GB/s) beats the int8 cache read through the
+                    Pallas DMA pipeline (~260 GB/s ceiling measured on
+                    this stack); int8 KV is the memory-capacity option
+                    for larger batches / longer contexts.
 """
 
 import json
@@ -35,7 +40,7 @@ TARGET_MULTIPLIER = 3.0
 
 BATCH = int(os.environ.get("AKI_BENCH_BATCH", "16"))
 QUANT = os.environ.get("AKI_BENCH_QUANT", "w8a8")
-KV8 = os.environ.get("AKI_BENCH_KV8", "1") == "1"
+KV8 = os.environ.get("AKI_BENCH_KV8", "0") == "1"
 TEXT_LEN = 512               # SFT max_length (configs/sft.yaml:21)
 DECODE_TOKENS = 32
 MAX_LEN = 768                # 512 + 143 vision + decode room, 128-aligned

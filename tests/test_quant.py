@@ -71,11 +71,26 @@ def _batch(rng, b=1, t=14):
     return jnp.array(ids), jnp.array(imgs), jnp.array(valid)
 
 
+def test_fused_matches_split_quantization():
+    """fuse=True concatenates kernels+scales; numerics must be identical
+    to the split form (per-output-channel scales are independent)."""
+    rng = np.random.RandomState(7)
+    params = init_aki(jax.random.PRNGKey(3), CFG)
+    A = _batch(rng)
+    split = aki_forward(quantize_params(params, fuse=False, vision=False),
+                        CFG, *A, policy=F32, use_flash=False)
+    fused = aki_forward(quantize_params(params, fuse=True, vision=False),
+                        CFG, *A, policy=F32, use_flash=False)
+    np.testing.assert_allclose(np.asarray(fused.logits),
+                               np.asarray(split.logits), rtol=1e-5, atol=1e-5)
+
+
 def test_quantized_forward_close_and_generation_runs():
     rng = np.random.RandomState(2)
     params = init_aki(jax.random.PRNGKey(0), CFG)
     qparams = quantize_params(params)
-    assert qparams["phi3"]["layers"]["wq"].q.dtype == jnp.int8
+    assert qparams["phi3"]["layers"]["wqkv"].q.dtype == jnp.int8
+    assert qparams["siglip"]["layers"]["wqkv"].q.dtype == jnp.int8
 
     A = _batch(rng)
     fp = aki_forward(params, CFG, *A, policy=F32, use_flash=False)
@@ -94,7 +109,7 @@ def test_w8a8_forward_close_and_generation_runs():
     rng = np.random.RandomState(5)
     params = init_aki(jax.random.PRNGKey(1), CFG)
     qparams = quantize_params(params, mode="w8a8")
-    assert qparams["phi3"]["layers"]["wq"].a8
+    assert qparams["phi3"]["layers"]["wqkv"].a8
 
     A = _batch(rng)
     fp = aki_forward(params, CFG, *A, policy=F32, use_flash=False)
