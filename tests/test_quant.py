@@ -89,8 +89,11 @@ def test_quantized_forward_close_and_generation_runs():
     rng = np.random.RandomState(2)
     params = init_aki(jax.random.PRNGKey(0), CFG)
     qparams = quantize_params(params)
-    assert qparams["phi3"]["layers"]["wqkv"].q.dtype == jnp.int8
-    assert qparams["siglip"]["layers"]["wqkv"].q.dtype == jnp.int8
+    assert qparams["phi3"]["layers"]["wq"].q.dtype == jnp.int8
+    assert qparams["siglip"]["layers"]["wo"].q.dtype == jnp.int8
+    fused = quantize_params(params, fuse=True)
+    assert fused["phi3"]["layers"]["wqkv"].q.dtype == jnp.int8
+    assert fused["siglip"]["layers"]["wqkv"].q.dtype == jnp.int8
 
     A = _batch(rng)
     fp = aki_forward(params, CFG, *A, policy=F32, use_flash=False)
@@ -109,7 +112,7 @@ def test_w8a8_forward_close_and_generation_runs():
     rng = np.random.RandomState(5)
     params = init_aki(jax.random.PRNGKey(1), CFG)
     qparams = quantize_params(params, mode="w8a8")
-    assert qparams["phi3"]["layers"]["wqkv"].a8
+    assert qparams["phi3"]["layers"]["wq"].a8
 
     A = _batch(rng)
     fp = aki_forward(params, CFG, *A, policy=F32, use_flash=False)
