@@ -29,7 +29,7 @@ from .eval_cv_bench import load_params
 from .sampling import SamplingConfig
 
 PROMPT = (
-    "<|system|>\n{system}<|end|>\n<|user|>\n<image>\n{question}<|end|>\n"
+    "<s> <|system|>\n{system}<|end|>\n<|user|>\n<image>\n{question}<|end|>\n"
     "<|assistant|>\n"
 )
 

@@ -1,15 +1,25 @@
 """CV-Bench evaluation CLI.
 
-Behavioral port of ``eval_cv_bench/eval.py``: loads the CV-Bench split
-(HF datasets from a local path), renders the MCQ prompt with the chat
-template, greedy-generates with the MMA prefill engine, exact-matches the
-option letter, and reports accuracy split into 2D (ADE20K, COCO) and 3D
-(Omni3D) sources plus a CSV of predictions.
+Behavioral port of ``eval_cv_bench/eval.py``, byte-exact on the prompt and
+scoring rule:
 
-Prompt (eval.py:54-64):
-    <s> <|system|>\n{SYSTEM}<|end|>\n<|user|>\n<image>\n{question}
-    {choices}\nAnswer with the option's letter from the given choices
-    directly.<|end|>\n<|assistant|>\n
+- text input (eval.py:167): ``"Answer with the option's letter from the
+  given choices directly. {question}\\nOptions:\\n{A. choice lines}\\n"``
+  (instruction FIRST, ``A.`` letter style — prompt wording shifts MCQ
+  accuracy, so this is load-bearing);
+- chat template (eval.py:54-64): ``<s> <|system|>\\n{SYSTEM}<|end|>\\n
+  <|user|>\\n<image>\\n{query}<|end|>\\n<|assistant|>\\n`` tokenized with
+  ``add_special_tokens=False`` (the literal ``<s> `` prefix supplies bos);
+- prediction = decoded *new* tokens only (the reference generates from
+  inputs_embeds, so HF returns generated ids only), scored by EXACT string
+  equality against the answer with parens stripped (eval.py:171-177);
+- 2D accuracy = mean(ADE20K acc, COCO acc) — per-source average, not a
+  pooled sample mean; combined = (2D + 3D) / 2 (eval.py:120-131).
+
+TPU-side: prompts are right-padded into LENGTH BUCKETS and generated in
+fixed-size batches, so the jitted engine compiles O(buckets) times instead
+of once per distinct prompt length (~2,600 near-unique lengths on the real
+set would each trigger a 4B recompile).
 
 Usage:
     python -m aki_tpu.infer.eval_cv_bench --checkpoint runs/sft \
@@ -24,6 +34,7 @@ import re
 from pathlib import Path
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..data.images import preprocess
@@ -33,25 +44,39 @@ from ..models.aki import init_aki
 from ..models.common import Policy
 from ..models.configs import aki_4b, aki_tiny, config_for_tokenizer
 from .engine import generate
-import jax
+
+BUCKETS = (96, 128, 192, 256, 384, 512, 768, 1024)
+
+
+def optionize_choices(choices: list[str]) -> str:
+    """``A. choice`` lines (eval.py:40-51)."""
+    options = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    return "\n".join(f"{options[i]}. {c}" for i, c in enumerate(choices))
 
 
 def render_prompt(question: str, choices: list[str]) -> str:
-    """MCQ prompt layout per eval.py:54-64 (choices already lettered)."""
-    lettered = "\n".join(
-        f"({chr(ord('A') + i)}) {c}" for i, c in enumerate(choices)
+    """Full prompt, byte-exact vs eval.py:54-64 + :167."""
+    text_input = (
+        "Answer with the option's letter from the given choices directly. "
+        f"{question}\nOptions:\n{optionize_choices(choices)}\n"
     )
     return (
-        f"<|system|>\n{SYSTEM_MESSAGE}<|end|>\n"
-        f"<|user|>\n<image>\n{question}\n{lettered}\n"
-        "Answer with the option's letter from the given choices directly."
-        f"<|end|>\n<|assistant|>\n"
+        f"<s> <|system|>\n{SYSTEM_MESSAGE}<|end|>\n"
+        f"<|user|>\n<image>\n{text_input}<|end|>\n<|assistant|>\n"
     )
 
 
 def extract_letter(text: str) -> str | None:
+    """Lenient letter extraction (diagnostics only — scoring is exact)."""
     m = re.search(r"\(?([A-F])\)?", text.strip())
     return m.group(1) if m else None
+
+
+def pick_bucket(n: int) -> int:
+    for b in BUCKETS:
+        if n <= b:
+            return b
+    raise ValueError(f"prompt length {n} exceeds the largest bucket")
 
 
 def load_params(checkpoint: str | None, cfg, seed=0):
@@ -69,6 +94,52 @@ def load_params(checkpoint: str | None, cfg, seed=0):
     return params
 
 
+def run_eval(params, cfg, tokenizer, samples, *, batch_size=16,
+             max_new_tokens=256, policy=None, n_vis=None):
+    """Bucketed batched greedy generation.
+
+    samples: list of dicts {ids, image (H,W,C) float32, answer, source}.
+    Returns per-sample dicts with predictions.
+    """
+    policy = policy or Policy(param_dtype=jnp.bfloat16)
+    n_vis = n_vis or cfg.perceiver.num_latents
+    by_bucket: dict[int, list[int]] = {}
+    for i, s in enumerate(samples):
+        by_bucket.setdefault(pick_bucket(len(s["ids"])), []).append(i)
+
+    results = [None] * len(samples)
+    for bucket, idxs in sorted(by_bucket.items()):
+        # max_len: bucket + spliced vision + decode room, 128-aligned
+        max_len = -(-(bucket + n_vis + max_new_tokens) // 128) * 128
+        for lo in range(0, len(idxs), batch_size):
+            chunk = idxs[lo: lo + batch_size]
+            rows = chunk + [chunk[0]] * (batch_size - len(chunk))  # pad batch
+            ids = np.zeros((batch_size, bucket), np.int32)
+            ids[:] = cfg.pad_token_id
+            valid = np.zeros((batch_size, bucket), np.int32)
+            imgs = np.zeros(
+                (batch_size, cfg.siglip.image_size, cfg.siglip.image_size, 3),
+                np.float32,
+            )
+            for r, si in enumerate(rows):
+                s = samples[si]
+                n = len(s["ids"])
+                ids[r, :n] = s["ids"]
+                valid[r, :n] = 1
+                imgs[r] = s["image"]
+            tokens, num = generate(
+                params, cfg, jnp.asarray(ids), jnp.asarray(imgs),
+                jnp.asarray(valid), max_new_tokens=max_new_tokens,
+                max_len=max_len, eos_id=tokenizer.info.end_id, policy=policy,
+            )
+            tokens = np.asarray(tokens)
+            num = np.asarray(num)
+            for r, si in enumerate(chunk):
+                text = tokenizer.decode(tokens[r][: int(num[r])])
+                results[si] = text
+    return results
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", default=None)
@@ -78,6 +149,7 @@ def main(argv=None):
     ap.add_argument("--out", default="cv_bench_results")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--max-new-tokens", type=int, default=256)
     args = ap.parse_args(argv)
 
@@ -85,7 +157,6 @@ def main(argv=None):
     base = aki_tiny(tokenizer.info.vocab_size) if args.tiny else aki_4b()
     cfg = config_for_tokenizer(base, tokenizer.info)
     params = load_params(args.checkpoint, cfg)
-    policy = Policy(param_dtype=jnp.bfloat16)
 
     import datasets as hfds
 
@@ -93,33 +164,30 @@ def main(argv=None):
     if args.limit:
         ds = ds.select(range(min(args.limit, len(ds))))
 
+    img_size = cfg.siglip.image_size
+    samples = []
+    for ex in ds:
+        prompt = render_prompt(ex["question"], ex["choices"])
+        samples.append({
+            # add_special_tokens=False: the "<s> " prefix supplies bos
+            "ids": tokenizer.encode(prompt),
+            "image": preprocess(ex["image"], img_size),
+            "answer": ex["answer"].replace("(", "").replace(")", ""),
+            "source": ex.get("source", "unknown"),
+        })
+
+    preds = run_eval(params, cfg, tokenizer, samples,
+                     batch_size=args.batch,
+                     max_new_tokens=args.max_new_tokens)
+
     results = []
     correct_by_source: dict[str, list[int]] = {}
-    img_size = cfg.siglip.image_size
-    max_len = 1024
-
-    for i, ex in enumerate(ds):
-        prompt = render_prompt(ex["question"], ex["choices"])
-        ids = tokenizer.encode(prompt)  # reference eval/demo: add_special_tokens=False (eval.py:81)
-        img = preprocess(ex["image"], img_size)
-        input_ids = jnp.array([ids], jnp.int32)
-        valid = jnp.ones_like(input_ids)
-        imgs = jnp.array(img[None])
-
-        tokens, num = generate(
-            params, cfg, input_ids, imgs, valid,
-            max_new_tokens=args.max_new_tokens, max_len=max_len,
-            eos_id=tokenizer.info.end_id, policy=policy,
-        )
-        text = tokenizer.decode(np.asarray(tokens)[0][: int(num[0])])
-        pred = extract_letter(text)
-        gold = extract_letter(ex["answer"])
-        ok = int(pred == gold)
-        src = ex.get("source", "unknown")
-        correct_by_source.setdefault(src, []).append(ok)
+    for i, (s, text) in enumerate(zip(samples, preds)):
+        ok = int(text == s["answer"])  # reference: exact equality
+        correct_by_source.setdefault(s["source"], []).append(ok)
         results.append({
-            "idx": i, "source": src, "pred": pred, "gold": gold,
-            "correct": ok, "raw": text[:200],
+            "idx": i, "source": s["source"], "pred": text[:40],
+            "gold": s["answer"], "correct": ok,
         })
 
     out = Path(args.out)
@@ -129,17 +197,22 @@ def main(argv=None):
         w.writeheader()
         w.writerows(results)
 
-    # 2D = ADE20K + COCO, 3D = Omni3D (eval.py:119-153)
-    def acc(sources):
-        vals = [v for s in sources for v in correct_by_source.get(s, [])]
+    # per-source accuracies; 2D = mean(ADE, COCO), combined = (2D + 3D)/2
+    # (eval.py:120-131 — per-source average, not pooled)
+    def acc(src):
+        vals = correct_by_source.get(src, [])
         return 100.0 * np.mean(vals) if vals else float("nan")
 
-    acc2d = acc(["ADE20K", "COCO"])
-    acc3d = acc(["Omni3D"])
+    a_ade, a_coco, a_omni = acc("ADE20K"), acc("COCO"), acc("Omni3D")
+    acc2d = (a_ade + a_coco) / 2
+    acc3d = a_omni
     report = (
-        f"CV-Bench 2D accuracy: {acc2d:.2f}\n"
-        f"CV-Bench 3D accuracy: {acc3d:.2f}\n"
-        f"overall: {100.0 * np.mean([r['correct'] for r in results]):.2f}\n"
+        f"CV-Bench Accuracy: {(acc2d + acc3d) / 2:.2f}\n"
+        f"2D Accuracy: {acc2d:.2f}\n"
+        f"3D Accuracy: {acc3d:.2f}\n"
+        f"ADE20K Accuracy: {a_ade:.2f}\n"
+        f"COCO Accuracy: {a_coco:.2f}\n"
+        f"Omni3D Accuracy: {a_omni:.2f}\n"
     )
     (out / "report.txt").write_text(report)
     print(report, end="")

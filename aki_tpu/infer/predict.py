@@ -55,7 +55,7 @@ def main(argv=None):
     pending = []
     for i, r in enumerate(requests):
         prompt = (
-            f"<|system|>\n{SYSTEM_MESSAGE}<|end|>\n<|user|>\n<image>\n"
+            f"<s> <|system|>\n{SYSTEM_MESSAGE}<|end|>\n<|user|>\n<image>\n"
             f"{r['question']}<|end|>\n<|assistant|>\n"
         )
         ids = tok.encode(prompt)  # reference eval/demo: add_special_tokens=False (eval.py:81)

@@ -82,7 +82,7 @@ class AKIModel:
         from ..data.sft.templates import SYSTEM_MESSAGE
 
         prompt = (
-            f"<|system|>\n{SYSTEM_MESSAGE}<|end|>\n<|user|>\n<image>\n"
+            f"<s> <|system|>\n{SYSTEM_MESSAGE}<|end|>\n<|user|>\n<image>\n"
             f"{question}<|end|>\n<|assistant|>\n"
         )
         ids = self.tokenizer.encode(prompt)  # reference eval/demo: add_special_tokens=False (eval.py:81)

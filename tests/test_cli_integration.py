@@ -178,14 +178,56 @@ def test_torch_export_roundtrip():
 
 
 def test_cv_bench_prompt_and_letter():
+    """Prompt must be byte-exact vs eval.py:54-64 + :167."""
     from aki_tpu.infer.eval_cv_bench import extract_letter, render_prompt
+    from aki_tpu.data.sft.templates import SYSTEM_MESSAGE
 
     p = render_prompt("Which is bigger?", ["the cat", "the dog"])
-    assert "(A) the cat\n(B) the dog" in p
-    assert p.endswith("<|assistant|>\n")
+    # verbatim reference transcription
+    text_input = (
+        "Answer with the option's letter from the given choices directly. "
+        "Which is bigger?\nOptions:\nA. the cat\nB. the dog\n"
+    )
+    want = (
+        f"<s> <|system|>\n{SYSTEM_MESSAGE}<|end|>\n"
+        f"<|user|>\n<image>\n{text_input}<|end|>\n<|assistant|>\n"
+    )
+    assert p == want
     assert extract_letter("(B)") == "B"
     assert extract_letter(" B. the dog") == "B"
     assert extract_letter("no letter") is None
+
+
+def test_cv_bench_bucketed_batched_eval():
+    """run_eval compiles O(buckets), handles mixed lengths + partial
+    batches, and routes predictions back to the right samples."""
+    import jax
+    from aki_tpu.data.tokenizer import HashTokenizer
+    from aki_tpu.infer.eval_cv_bench import pick_bucket, run_eval
+    from aki_tpu.models.aki import init_aki
+    from aki_tpu.models.common import F32
+    from aki_tpu.models.configs import aki_tiny, config_for_tokenizer
+
+    assert pick_bucket(90) == 96 and pick_bucket(97) == 128
+
+    tok = HashTokenizer()
+    cfg = config_for_tokenizer(aki_tiny(tok.info.vocab_size), tok.info)
+    params = init_aki(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    s = cfg.siglip.image_size
+    samples = []
+    for n in (20, 30, 100, 110, 25):  # two buckets, partial batches
+        ids = rng.randint(8, cfg.initial_tokenizer_len - 1, size=n).tolist()
+        ids[1] = cfg.media_token_id
+        ids[n // 2] = cfg.assistant_token_id
+        samples.append({
+            "ids": ids,
+            "image": rng.randn(s, s, 3).astype(np.float32),
+            "answer": "A", "source": "COCO",
+        })
+    preds = run_eval(params, cfg, tok, samples, batch_size=2,
+                     max_new_tokens=3, policy=F32)
+    assert len(preds) == 5 and all(isinstance(p, str) for p in preds)
 
 
 def test_akimodel_from_pretrained_and_answer(tmp_path):
