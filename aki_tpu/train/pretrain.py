@@ -2,10 +2,11 @@
 
 TPU-native counterpart of ``train/train.py``: the per-dataset knobs
 (batch size, loss multiplier, sample budget, shard globs,
-``train.py:100-116``) live under ``datasets:`` blocks in one YAML; the
-reference's one-backward-per-dataset gradient accumulation
-(``train_utils.py:226-252``) maps to round-robin dataset stepping with the
-per-dataset ``loss_multiplier`` folded into the step.
+``train.py:100-116``) live under ``datasets:`` blocks in one YAML.
+Multi-dataset stepping is reference-exact: one optimizer step consumes one
+batch from every dataset and their (weighted) gradients sum before the
+update (``zip(*dataloaders)`` + per-dataset backward,
+``train_utils.py:215-252``).
 
 Usage:
     python -m aki_tpu.train.pretrain --config aki_tpu/configs/pretrain.yaml \
@@ -84,8 +85,10 @@ def main(argv=None):
     epochs = tc.get("num_epochs", 1)
     rank, world = jax.process_index(), jax.process_count()
     for epoch in range(trainer.epoch, epochs):
-        # one loader per dataset, stepped round-robin (train.py:233-240
-        # requires equal batch counts; we interleave instead of asserting)
+        # one loader per dataset; ONE optimizer step consumes one batch
+        # from EVERY dataset (reference zip(*dataloaders) + per-dataset
+        # backward accumulation, train_utils.py:215-252; train.py:233-240
+        # asserts equal batch counts — zip stops at the shortest)
         iters = [
             Prefetcher(
                 batches(dc, tokenizer, epoch=epoch, rank=rank, world=world),
@@ -93,17 +96,8 @@ def main(argv=None):
             )
             for dc in ds_cfgs
         ]
-
-        def round_robin():
-            live = list(iters)
-            while live:
-                for it in list(live):
-                    try:
-                        yield next(it)
-                    except StopIteration:
-                        live.remove(it)
-
-        step = trainer.run_epoch(round_robin(), epoch)
+        stream = iters[0] if len(iters) == 1 else zip(*iters)
+        step = trainer.run_epoch(stream, epoch)
         if step >= run_cfg.total_steps:
             break
     trainer.finish(epoch)

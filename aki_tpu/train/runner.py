@@ -110,6 +110,9 @@ class Trainer:
         self._bsharding = batch_sharding(self.mesh)
 
     def put_batch(self, np_batch) -> Batch:
+        if isinstance(np_batch, tuple):
+            # multi-dataset step: one batch per dataset (train_utils.py:215)
+            return tuple(self.put_batch(b) for b in np_batch)
         lw = getattr(np_batch, "loss_weight", 1.0)
         batch = Batch(
             input_ids=np_batch.input_ids, images=np_batch.images,

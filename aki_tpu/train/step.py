@@ -91,26 +91,45 @@ def make_train_step(
 
     grad_fn = jax.value_and_grad(scaled_loss)
 
-    def train_step(state: TrainState, batch: Batch):
+    def compute(params, batch: Batch):
         if grad_accum == 1:
-            loss, grads = grad_fn(state.params, batch)
-        else:
-            def acc(carry, micro):
-                loss_sum, grads_sum = carry
-                l, g = grad_fn(state.params, micro)
-                return (
-                    loss_sum + l,
-                    jax.tree.map(jnp.add, grads_sum, g),
-                ), None
+            return grad_fn(params, batch)
 
-            zero = jax.tree.map(
+        def acc(carry, micro):
+            loss_sum, grads_sum = carry
+            l, g = grad_fn(params, micro)
+            return (
+                loss_sum + l,
+                jax.tree.map(jnp.add, grads_sum, g),
+            ), None
+
+        zero = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params
+        )
+        (loss, grads), _ = jax.lax.scan(
+            acc, (jnp.zeros((), jnp.float32), zero), batch
+        )
+        return loss / grad_accum, jax.tree.map(lambda g: g / grad_accum, grads)
+
+    def train_step(state: TrainState, batch):
+        if isinstance(batch, tuple):
+            # reference multi-dataset semantics (train_utils.py:215-252):
+            # ONE optimizer step consumes one batch from EVERY dataset;
+            # each dataset's (weighted) loss backprops and the gradients
+            # SUM — no division by the dataset count. Shapes may differ
+            # per dataset (per-dataset batch_size / max_text_len), so the
+            # loop is unrolled, not scanned.
+            loss = jnp.zeros((), jnp.float32)
+            grads = jax.tree.map(
                 lambda p: jnp.zeros(p.shape, jnp.float32), state.params
             )
-            (loss, grads), _ = jax.lax.scan(
-                acc, (jnp.zeros((), jnp.float32), zero), batch
-            )
-            loss = loss / grad_accum
-            grads = jax.tree.map(lambda g: g / grad_accum, grads)
+            for b in batch:
+                l, g = compute(state.params, b)
+                loss = loss + l
+                grads = jax.tree.map(jnp.add, grads, g)
+            loss = loss / len(batch)  # logged as the mean; grads stay summed
+        else:
+            loss, grads = compute(state.params, batch)
 
         grad_norm = optax.global_norm(grads)
         updates, opt_state = optimizer.update(

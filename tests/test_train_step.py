@@ -149,3 +149,58 @@ def test_weight_decay_mask():
     assert mask["phi3"]["embed"]["table"] is False
     assert mask["extra_embed"]["table"] is False
     assert mask["phi3"]["layers"]["wq"] is True
+
+
+def test_multi_dataset_step_sums_weighted_grads():
+    """Reference semantics (train_utils.py:215-252): one optimizer step
+    consumes one batch per dataset; grads = sum over datasets of
+    grad(loss_d * weight_d) — no division by the dataset count."""
+    import dataclasses
+
+    import optax
+
+    from aki_tpu.models.aki import init_aki
+    from aki_tpu.models.common import F32
+    from aki_tpu.models.configs import aki_tiny
+    from aki_tpu.train.step import Batch, TrainState, make_train_step
+
+    cfg = aki_tiny()
+    params = init_aki(jax.random.PRNGKey(0), cfg)
+    opt = optax.sgd(1.0)  # transparent update: delta == -grads
+    state = TrainState.create(params, opt)
+
+    rng = np.random.RandomState(0)
+
+    def mk_batch(b, t, w, seed):
+        r = np.random.RandomState(seed)
+        ids = r.randint(5, cfg.initial_tokenizer_len - 1, size=(b, t))
+        ids[:, 1] = cfg.media_token_id
+        valid = np.ones((b, t), np.int32)
+        labels = np.where(valid == 1, ids, -100)
+        s = cfg.siglip.image_size
+        imgs = r.randn(b, s, s, 3).astype(np.float32)
+        return Batch(
+            input_ids=jnp.array(ids), images=jnp.array(imgs),
+            attn_valid=jnp.array(valid), labels=jnp.array(labels),
+            loss_weight=jnp.asarray(w, jnp.float32),
+        )
+
+    # different shapes per dataset, like per-dataset batch_size/max_text_len
+    b1 = mk_batch(2, 12, 1.0, 1)
+    b2 = mk_batch(3, 10, 0.25, 2)
+
+    step = make_train_step(cfg, opt, policy=F32, remat=False,
+                           use_flash=False)
+    new_state, m = jax.jit(step)(state, (b1, b2))
+
+    # oracle: sum of per-dataset weighted grads, one SGD update
+    from aki_tpu.train.step import make_loss_fn
+
+    loss_fn = make_loss_fn(cfg, F32, False, False)
+    g1 = jax.grad(loss_fn)(params, b1)
+    g2 = jax.grad(loss_fn)(params, b2)
+    want = jax.tree.map(lambda p, a, b_: p - (a + b_), params, g1, g2)
+    got_leaf = np.asarray(new_state.params["phi3"]["layers"]["wq"])
+    want_leaf = np.asarray(want["phi3"]["layers"]["wq"])
+    np.testing.assert_allclose(got_leaf, want_leaf, rtol=2e-5, atol=2e-5)
+    assert np.isfinite(float(m["loss"]))
