@@ -73,6 +73,19 @@ class SFTDataset:
     def __len__(self):
         return len(self.records)
 
+    def clone_for_worker(self, rng: _random.Random) -> "SFTDataset":
+        """Shallow copy sharing the parsed records but with worker-private
+        RNG state (thread-safe multi-worker loading; loader.py)."""
+        import copy
+
+        c = copy.copy(self)
+        c.rng = rng
+        c.np_rng = np.random.RandomState(rng.randrange(2 ** 31))
+        if c.templatizer is not None:
+            c.templatizer = copy.copy(c.templatizer)
+            c.templatizer.rng = rng
+        return c
+
     def render_text(self, record: dict) -> str:
         if "text" in record:
             return record["text"]

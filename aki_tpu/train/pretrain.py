@@ -19,8 +19,11 @@ import argparse
 
 import jax
 
+import dataclasses
+
 from ..configs.loader import load_config
-from ..data.pretrain import PretrainConfig, Prefetcher, batches
+from ..data.loader import make_loader
+from ..data.pretrain import PretrainConfig, batches
 from ..data.tokenizer import load_tokenizer
 from ..models.configs import aki_4b, aki_tiny, config_for_tokenizer
 from ..parallel.mesh import MeshConfig, init_distributed
@@ -89,11 +92,21 @@ def main(argv=None):
         # from EVERY dataset (reference zip(*dataloaders) + per-dataset
         # backward accumulation, train_utils.py:215-252; train.py:233-240
         # asserts equal batch counts — zip stops at the shortest)
+        num_workers = tc.get("workers", 4)  # reference: 4 workers/GPU
+
+        def make_ds_iter(dc, ep=epoch):
+            def mk(w, n):
+                cfg_w = dataclasses.replace(
+                    dc,
+                    num_samples=(dc.num_samples // n
+                                 if dc.num_samples else None),
+                )
+                return batches(cfg_w, tokenizer, epoch=ep, rank=rank,
+                               world=world, worker=w, num_workers=n)
+            return mk
+
         iters = [
-            Prefetcher(
-                batches(dc, tokenizer, epoch=epoch, rank=rank, world=world),
-                depth=4,
-            )
+            make_loader(make_ds_iter(dc), num_workers=num_workers)
             for dc in ds_cfgs
         ]
         stream = iters[0] if len(iters) == 1 else zip(*iters)

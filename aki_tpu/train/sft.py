@@ -76,25 +76,44 @@ def main(argv=None):
         weights.append(block.get("weight", 1.0))
 
     batch_size = tc.get("batch_size_per_device", 4)
-    mixture = MultiDataset(
-        datasets,
-        sampling_weights=(
-            tc.get("sampling_weights") or weights or "uniform"
-        ),
-        force_one_per_dataset=tc.get("force_one_per_dataset", False),
-        batch_per_device=batch_size,
-        num_ranks=world,
-        seed=seed,
-    )
+    sampling = tc.get("sampling_weights") or weights or "uniform"
+    # configs/sft.yaml workers: 4 — capped so every worker owns >= 1 full
+    # batch (tiny datasets would otherwise make zero-progress epochs)
+    total_len = sum(len(d) for d in datasets) // max(world, 1)
+    num_workers = max(1, min(tc.get("workers", 4),
+                             total_len // max(batch_size, 1)))
+
+    def make_epoch_iter(epoch_seed):
+        def mk(w, n):
+            # per-worker mixture over SHARED parsed records with private
+            # RNG state; num_ranks scales so the epoch length splits
+            rng_w = random.Random(worker_seed(epoch_seed, rank, w))
+            ds_w = [d.clone_for_worker(rng_w) for d in datasets]
+            mixture = MultiDataset(
+                ds_w, sampling_weights=sampling,
+                force_one_per_dataset=tc.get("force_one_per_dataset", False),
+                batch_per_device=batch_size,
+                num_ranks=world * n,
+                seed=rng_w.randrange(2 ** 31),
+            )
+            return batches(
+                mixture, batch_size, tokenizer.info.pad_id,
+                tc.get("max_length", 512), model_cfg.siglip.image_size,
+            )
+        return mk
+
+    from ..data.loader import make_loader
 
     epoch = trainer.epoch
     while int(trainer.state.step) < run_cfg.total_steps:
-        it = batches(
-            mixture, batch_size, tokenizer.info.pad_id,
-            tc.get("max_length", 512), model_cfg.siglip.image_size,
-        )
+        before = int(trainer.state.step)
+        it = make_loader(make_epoch_iter(run_cfg.seed + epoch),
+                         num_workers=num_workers)
         trainer.run_epoch(it, epoch)
         epoch += 1
+        if int(trainer.state.step) == before:
+            print("warning: epoch produced no batches; stopping")
+            break
     trainer.finish(epoch)
     print(f"done at step {int(trainer.state.step)}")
 
