@@ -4,17 +4,27 @@ The reference serves through HF ``generate`` one request at a time
 (``local_demo.py``).  Production TPU serving wants the chip busy across
 requests, so this engine keeps a fixed pool of KV-cache *slots*:
 
-- an incoming request is prefilled alone (MMA mask) into a fresh
-  single-sequence cache, then spliced into a free slot of the pooled cache
-  with one donated dynamic-update-slice;
+- queued requests are admitted in BATCHES: one jitted prefill call covers
+  up to ``admit_batch`` newcomers (MMA mask, fixed shapes, dummy-padded),
+  then one scatter merges all of them into their slots — a bs-4 prefill
+  costs ~1.6x a bs-1 prefill, so batched admission is ~2.5x less chip
+  time per admitted request than the old admit-one-at-a-time loop, which
+  stalled every active slot for a full prefill per newcomer;
 - every engine step decodes ALL active slots in one jitted causal step
   (per-slot lengths/positions — the engine contract already supports
   ragged batches);
-- finished slots (eos / budget) are freed immediately and refilled from
-  the queue, so short answers never hold long ones hostage.
+- decode runs in jitted CHUNKS of ``decode_chunk`` steps (multi-step
+  scheduling): one host fetch per chunk instead of per token — through
+  the tunneled runtime a per-token sync costs ~20 ms, more than the
+  decode step itself (measured 3.1 -> double-digit img/s);
+- finished slots (eos / budget) free at chunk boundaries and refill from
+  the queue, so short answers hold long ones hostage for at most
+  ``decode_chunk - 1`` steps;
+- all dispatches are async (JAX): the host never waits on the device, so
+  admission dispatch overlaps in-flight decode execution.
 
-All device work is three jitted functions (prefill-one, insert, decode);
-the host loop is bookkeeping only.
+All device work is three jitted functions (prefill-batch, insert-many,
+decode-chunk); the host loop is bookkeeping only.
 """
 
 from __future__ import annotations
@@ -48,6 +58,7 @@ class Request:
 class ServingEngine:
     def __init__(self, params, cfg: AKIConfig, num_slots: int = 8,
                  max_len: int = 1024, prompt_bucket: int = 512,
+                 admit_batch: int = 4, decode_chunk: int = 8,
                  policy: Policy = Policy(param_dtype=jnp.bfloat16),
                  sampling: SamplingConfig = SamplingConfig()):
         self.params = params
@@ -57,6 +68,8 @@ class ServingEngine:
         self.num_slots = num_slots
         self.max_len = max_len
         self.prompt_bucket = prompt_bucket
+        self.admit_batch = max(1, min(admit_batch, num_slots))
+        self.decode_chunk = max(1, decode_chunk)
 
         self.state = GenState(
             cache=KVCache.create(cfg.phi3, num_slots, max_len,
@@ -73,55 +86,59 @@ class ServingEngine:
         self.queue: "queue.Queue[Request]" = queue.Queue()
         self._rng = jax.random.PRNGKey(0)
 
-        self._prefill_one = jax.jit(self._prefill_one_impl)
+        self._prefill_batch = jax.jit(self._prefill_batch_impl)
         self._insert = jax.jit(self._insert_impl, donate_argnums=(0,))
         self._decode = jax.jit(self._decode_impl, donate_argnums=(1,))
 
     # -- jitted device functions ---------------------------------------------
-    def _prefill_one_impl(self, params, ids, img, valid):
+    def _prefill_batch_impl(self, params, ids, img, valid):
         return prefill(params, self.cfg, ids, img, valid,
                        max_len=self.max_len, policy=self.policy)
 
-    def _insert_impl(self, state: GenState, one: GenState, slot):
-        k = jax.lax.dynamic_update_slice(
-            state.cache.k, one.cache.k, (0, slot, 0, 0, 0)
-        )
-        v = jax.lax.dynamic_update_slice(
-            state.cache.v, one.cache.v, (0, slot, 0, 0, 0)
-        )
-        kv_valid = jax.lax.dynamic_update_slice(
-            state.kv_valid, one.kv_valid, (slot, 0)
-        )
-        lengths = jax.lax.dynamic_update_slice(
-            state.lengths, one.lengths, (slot,)
-        )
-        last_logits = jax.lax.dynamic_update_slice(
-            state.last_logits, one.last_logits, (slot, 0)
+    def _insert_impl(self, state: GenState, new: GenState, slots):
+        """Scatter all admit_batch rows of ``new`` into their slots; padded
+        rows carry slot index == num_slots and drop."""
+        k = state.cache.k.at[:, slots].set(new.cache.k, mode="drop")
+        v = state.cache.v.at[:, slots].set(new.cache.v, mode="drop")
+        kv_valid = state.kv_valid.at[slots].set(new.kv_valid, mode="drop")
+        lengths = state.lengths.at[slots].set(new.lengths, mode="drop")
+        last_logits = state.last_logits.at[slots].set(
+            new.last_logits, mode="drop"
         )
         return GenState(cache=KVCache(k=k, v=v), kv_valid=kv_valid,
                         lengths=lengths, last_logits=last_logits)
 
     def _decode_impl(self, params, state: GenState, active, key):
-        tok = sample(state.last_logits, self.sampling, key)
-        tok = jnp.where(active, tok, self.cfg.pad_token_id).astype(jnp.int32)
-        # frozen slots must not advance: decode everything, keep old rows
-        new_state = decode_step(params, self.cfg, state, tok,
-                                policy=self.policy)
-        keep = lambda new, old: jnp.where(
-            active.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+        def one(carry, _):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            tok = sample(st.last_logits, self.sampling, sub)
+            tok = jnp.where(
+                active, tok, self.cfg.pad_token_id
+            ).astype(jnp.int32)
+            new_state = decode_step(params, self.cfg, st, tok,
+                                    policy=self.policy)
+            # Only the BOOKKEEPING freezes for inactive slots (kv_valid /
+            # lengths / last_logits). The cache itself may advance freely:
+            # a garbage token lands at the frozen lengths[i] position,
+            # invisible behind the frozen kv_valid, and admission
+            # overwrites the whole row. A cache-sized where-merge would
+            # hold 3 cache copies in HBM (OOM at 16 slots x 768 on v5e).
+            keep = lambda new, old: jnp.where(
+                active.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+            )
+            merged = GenState(
+                cache=new_state.cache,
+                kv_valid=keep(new_state.kv_valid, st.kv_valid),
+                lengths=keep(new_state.lengths, st.lengths),
+                last_logits=keep(new_state.last_logits, st.last_logits),
+            )
+            return (merged, k), tok
+
+        (state, _), toks = jax.lax.scan(
+            one, (state, key), None, length=self.decode_chunk
         )
-        merged = GenState(
-            cache=KVCache(
-                k=jnp.where(active[None, :, None, None, None],
-                            new_state.cache.k, state.cache.k),
-                v=jnp.where(active[None, :, None, None, None],
-                            new_state.cache.v, state.cache.v),
-            ),
-            kv_valid=keep(new_state.kv_valid, state.kv_valid),
-            lengths=keep(new_state.lengths, state.lengths),
-            last_logits=keep(new_state.last_logits, state.last_logits),
-        )
-        return merged, tok
+        return state, toks  # toks: (decode_chunk, num_slots)
 
     # -- host API ---------------------------------------------------------------
     def submit(self, input_ids: list[int], image: np.ndarray,
@@ -131,31 +148,48 @@ class ServingEngine:
         self.queue.put(req)
         return req
 
-    def _admit(self, slot: int, req: Request):
-        t = self.prompt_bucket
-        ids = np.full((1, t), self.cfg.pad_token_id, np.int32)
-        valid = np.zeros((1, t), np.int32)
-        n = min(len(req.input_ids), t)
-        ids[0, :n] = req.input_ids[:n]
-        valid[0, :n] = 1
-        one = self._prefill_one(
-            self.params, jnp.array(ids), jnp.array(req.image[None]),
-            jnp.array(valid),
+    def _admit_many(self, slots: list[int], reqs: list[Request]):
+        """One batched prefill for up to admit_batch requests, one scatter
+        into their slots (fixed shapes: the batch pads with dummy rows
+        whose slot index drops in the scatter)."""
+        b, t = self.admit_batch, self.prompt_bucket
+        s = self.cfg.siglip.image_size
+        ids = np.full((b, t), self.cfg.pad_token_id, np.int32)
+        valid = np.zeros((b, t), np.int32)
+        imgs = np.zeros((b, s, s, 3), np.float32)
+        slot_idx = np.full((b,), self.num_slots, np.int32)  # OOB -> drop
+        for r, (slot, req) in enumerate(zip(slots, reqs)):
+            n = min(len(req.input_ids), t)
+            ids[r, :n] = req.input_ids[:n]
+            valid[r, :n] = 1
+            imgs[r] = req.image
+            slot_idx[r] = slot
+        # dummy rows still need one valid token (prefill assumes non-empty)
+        for r in range(len(reqs), b):
+            valid[r, 0] = 1
+        new = self._prefill_batch(
+            self.params, jnp.array(ids), jnp.array(imgs), jnp.array(valid)
         )
-        self.state = self._insert(self.state, one, jnp.asarray(slot, jnp.int32))
-        self.slot_req[slot] = req
-        self.slot_tokens[slot] = []
+        self.state = self._insert(self.state, new, jnp.array(slot_idx))
+        for slot, req in zip(slots, reqs):
+            self.slot_req[slot] = req
+            self.slot_tokens[slot] = []
 
     def step(self) -> int:
-        """Admit queued requests into free slots, run one decode step.
-        Returns the number of active slots."""
-        for slot in range(self.num_slots):
-            if self.slot_req[slot] is None:
+        """Admit queued requests into free slots (batched), run one decode
+        step. Returns the number of active slots."""
+        free = [i for i, r in enumerate(self.slot_req) if r is None]
+        while free and not self.queue.empty():
+            take_slots, take_reqs = [], []
+            while free and len(take_reqs) < self.admit_batch:
                 try:
                     req = self.queue.get_nowait()
                 except queue.Empty:
                     break
-                self._admit(slot, req)
+                take_reqs.append(req)
+                take_slots.append(free.pop(0))
+            if take_reqs:
+                self._admit_many(take_slots, take_reqs)
 
         active_mask = np.array(
             [r is not None for r in self.slot_req], dtype=bool
@@ -164,21 +198,25 @@ class ServingEngine:
             return 0
 
         self._rng, sub = jax.random.split(self._rng)
-        self.state, tok = self._decode(
+        self.state, toks = self._decode(
             self.params, self.state, jnp.array(active_mask), sub
         )
-        tok = np.asarray(tok)
+        toks = np.asarray(toks)  # (decode_chunk, num_slots) — ONE host sync
         for slot in range(self.num_slots):
             req = self.slot_req[slot]
             if req is None:
                 continue
-            t = int(tok[slot])
-            done = (req.eos_id is not None and t == req.eos_id)
-            if not done:
-                self.slot_tokens[slot].append(t)
-            if done or len(self.slot_tokens[slot]) >= req.max_new_tokens:
-                req._result.put(self.slot_tokens[slot])
-                self.slot_req[slot] = None
+            for k in range(toks.shape[0]):
+                t = int(toks[k, slot])
+                done = (req.eos_id is not None and t == req.eos_id)
+                if not done:
+                    self.slot_tokens[slot].append(t)
+                if done or len(self.slot_tokens[slot]) >= req.max_new_tokens:
+                    # tokens past eos/budget within the chunk are garbage
+                    # the device kept decoding; drop them
+                    req._result.put(self.slot_tokens[slot])
+                    self.slot_req[slot] = None
+                    break
         return int(active_mask.sum())
 
     def run_until_drained(self, max_steps: int = 100000):

@@ -116,13 +116,48 @@ def main():
         lat.append((time.perf_counter() - t0) * 1e3)
     p50, p95 = np.percentile(lat, 50), np.percentile(lat, 95)
 
+    # continuous-batching server throughput under mixed arrivals: varied
+    # prompt lengths and decode budgets through the slotted engine
+    server_img_s = None
+    if os.environ.get("AKI_BENCH_SERVER", "1") == "1":
+        from aki_tpu.infer.server import ServingEngine
+
+        eng = ServingEngine(
+            params, cfg, num_slots=BATCH, max_len=MAX_LEN,
+            prompt_bucket=TEXT_LEN, admit_batch=4, policy=policy,
+        )
+        n_req = 2 * BATCH
+        rng2 = np.random.RandomState(1)
+        reqs = []
+        for i in range(n_req):
+            n = int(rng2.randint(TEXT_LEN // 2, TEXT_LEN))
+            rid = rng2.randint(5, cfg.initial_tokenizer_len - 1, size=n)
+            rid[1] = cfg.media_token_id
+            rid[40 % n] = cfg.assistant_token_id
+            reqs.append((rid.tolist(),
+                         np.asarray(imgs[i % BATCH], np.float32),
+                         int(rng2.randint(16, 48))))
+        # warm up compiles (admit + decode shapes) with a small drain
+        eng.submit(*reqs[0][:2], max_new_tokens=2)
+        eng.run_until_drained()
+        t0 = time.perf_counter()
+        handles = [eng.submit(r, im, max_new_tokens=m)
+                   for r, im, m in reqs]
+        eng.run_until_drained()
+        for h in handles:
+            h.result(timeout=5)
+        server_img_s = n_req / (time.perf_counter() - t0)
+
     target = A100_BASELINE_IMG_S * TARGET_MULTIPLIER
     print(json.dumps({
         "metric": (
             f"AKI-4B images/sec/chip (bs{BATCH}, {TEXT_LEN}-tok prompt + "
             f"{DECODE_TOKENS}-tok decode, {QUANT} matmuls, "
             f"{'int8' if KV8 else 'bf16'} KV; "
-            f"TTFT bs1 p50 = {p50:.1f} ms, p95 = {p95:.1f} ms)"
+            f"TTFT bs1 p50 = {p50:.1f} ms, p95 = {p95:.1f} ms"
+            + (f"; server continuous-batching {server_img_s:.1f} img/s "
+               f"mixed arrivals" if server_img_s else "")
+            + ")"
         ),
         "value": round(img_s, 3),
         "unit": "images/sec",
