@@ -100,15 +100,20 @@ class CheckpointManager:
 
         savable_params, frozen = split_frozen(state.params)
         # template-free read (host numpy), then lenient merge — shape
-        # mismatches keep the init value instead of erroring
+        # mismatches keep the init value instead of erroring. Restored host
+        # leaves are re-placed onto the TEMPLATE's shardings, so a
+        # checkpoint written on mesh A restores cleanly onto mesh B (the
+        # values are topology-free; placement follows the live state).
         raw = ocp.PyTreeCheckpointer().restore(Path(path).absolute())
         merged_params = _merge_lenient(savable_params, raw["params"])
         merged_params.update(frozen)
+        merged_params = _place_like(state.params, merged_params)
         try:
             opt_state = jax.tree.unflatten(
                 jax.tree.structure(state.opt_state),
                 jax.tree.leaves(raw["opt_state"]),
             )
+            opt_state = _place_like(state.opt_state, opt_state)
         except ValueError:
             # optimizer definition changed since the checkpoint (e.g. a
             # pretrain checkpoint consumed by sft_scratch, which re-inits
@@ -118,9 +123,33 @@ class CheckpointManager:
             state,
             params=merged_params,
             opt_state=opt_state,
-            step=jax.numpy.asarray(raw["step"]),
+            step=np.asarray(raw["step"]),  # host value: stays uncommitted
         )
         return new_state, int(raw["epoch"])
+
+
+def _place_like(template, tree):
+    """device_put each restored leaf to its template leaf's sharding (when
+    the template is a committed jax.Array of the same shape)."""
+
+    def place(t, x):
+        if (
+            isinstance(t, jax.Array)
+            and hasattr(t, "sharding")
+            and not isinstance(t.sharding, jax.sharding.SingleDeviceSharding)
+            and hasattr(x, "shape")
+            and t.shape == getattr(x, "shape", None)
+        ):
+            return jax.device_put(x, t.sharding)
+        # single-device templates (e.g. optimizer scalars): orbax restores
+        # committed-to-device-0 arrays, which clash with mesh-placed
+        # neighbors under jit — hand them back as host values so jit stays
+        # free to place them
+        if isinstance(x, jax.Array):
+            return np.asarray(x)
+        return x
+
+    return jax.tree.map(place, template, tree)
 
 
 def _merge_lenient(init: dict, restored: dict) -> dict:
