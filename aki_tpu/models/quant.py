@@ -47,15 +47,22 @@ jax.tree_util.register_dataclass(
 )
 
 
-def quantize_tensor(w: jax.Array, a8: bool = False) -> QuantTensor:
-    """Per-output-channel symmetric int8 over the last dim's columns.
+def quantize_tensor(w: jax.Array, a8: bool = False,
+                    bits: int = 8) -> QuantTensor:
+    """Per-output-channel symmetric int8/int4 over the last dim's columns.
 
-    w: (..., in, out) -> QuantTensor(q int8 same shape, s (..., 1, out)).
+    w: (..., in, out) -> QuantTensor(q int8|int4 same shape,
+    s (..., 1, out)). ``bits=4`` halves the weight-stream bytes again
+    (decode is weight-read bound); per-channel int4 is coarse — an
+    explicit speed/accuracy tradeoff, not the default.
     """
+    assert bits in (8, 4)
+    maxq = 127 if bits == 8 else 7
+    dtype = jnp.int8 if bits == 8 else jnp.int4
     w32 = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)
-    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
-    q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    scale = jnp.where(amax == 0, 1.0, amax / maxq)
+    q = jnp.clip(jnp.round(w32 / scale), -maxq, maxq).astype(dtype)
     return QuantTensor(q=q, s=scale.astype(jnp.bfloat16), a8=a8)
 
 
@@ -77,8 +84,9 @@ def mm(x: jax.Array, w) -> jax.Array:
     if is_quantized(w):
         if w.a8:
             xq, sx = quantize_acts(x)
+            wq = w.q if w.q.dtype == jnp.int8 else w.q.astype(jnp.int8)
             y = jax.lax.dot_general(
-                xq, w.q,
+                xq, wq,
                 (((x.ndim - 1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
@@ -101,7 +109,8 @@ def quantize_params(params: dict, mode: str = "w8",
                     fuse: bool = False, vision: bool = True) -> dict:
     """Quantize the big matmuls of a full AKI param tree for serving.
 
-    mode: "w8" (weight-only) or "w8a8" (dynamic activation quant too).
+    mode: "w8" | "w8a8" | "w4" | "w4a8" — weight bits (8/4) x whether
+    activations quantize dynamically (the int8 MXU path).
     fuse: concatenate wq|wk|wv -> "wqkv" and w_gate|w_up -> "w_gateup"
         (and the SigLIP qkv) — one activation-quantize + one wider MXU dot
         instead of three; per-output-channel scales concatenate exactly,
@@ -110,7 +119,9 @@ def quantize_params(params: dict, mode: str = "w8",
         output stop fusing into their consumers), so off by default.
     vision: also quantize the SigLIP encoder matmuls (biases stay float).
     """
-    a8 = mode == "w8a8"
+    assert mode in ("w8", "w8a8", "w4", "w4a8"), mode
+    a8 = mode.endswith("a8")
+    bits = 4 if mode.startswith("w4") else 8
     out = dict(params)
     phi3 = dict(params["phi3"])
     layers = dict(phi3["layers"])
@@ -119,24 +130,28 @@ def quantize_params(params: dict, mode: str = "w8",
             jnp.concatenate(
                 [layers.pop("wq"), layers.pop("wk"), layers.pop("wv")],
                 axis=-1,
-            ), a8=a8,
+            ), a8=a8, bits=bits,
         )
         layers["w_gateup"] = quantize_tensor(
             jnp.concatenate(
                 [layers.pop("w_gate"), layers.pop("w_up")], axis=-1
-            ), a8=a8,
+            ), a8=a8, bits=bits,
         )
         for k in ("wo", "w_down"):
-            layers[k] = quantize_tensor(layers[k], a8=a8)
+            layers[k] = quantize_tensor(layers[k], a8=a8, bits=bits)
     else:
         for k in QUANT_KEYS:
-            layers[k] = quantize_tensor(layers[k], a8=a8)
+            layers[k] = quantize_tensor(layers[k], a8=a8, bits=bits)
     phi3["layers"] = layers
     out["phi3"] = phi3
-    out["lm_head"] = {"w": quantize_tensor(params["lm_head"]["w"], a8=a8),
+    out["lm_head"] = {"w": quantize_tensor(params["lm_head"]["w"], a8=a8, bits=bits),
                       **({"b": params["lm_head"]["b"]}
                          if "b" in params["lm_head"] else {})}
     if vision and "siglip" in params:
+        # the vision tower stays 8-bit even in w4 modes: decode never
+        # touches it (int4 there saves nothing) and 4-bit convs/attn
+        # would cost accuracy for free
+        bits = 8
         sl = dict(params["siglip"])
         sly = dict(sl["layers"])
         if fuse:
@@ -150,11 +165,11 @@ def quantize_params(params: dict, mode: str = "w8",
             )
         else:
             for k in ("wq", "wk", "wv"):
-                sly[k] = quantize_tensor(sly[k], a8=a8)
-        sly["wo"] = quantize_tensor(sly["wo"], a8=a8)
-        sly["fc1"] = {"w": quantize_tensor(sly["fc1"]["w"], a8=a8),
+                sly[k] = quantize_tensor(sly[k], a8=a8, bits=bits)
+        sly["wo"] = quantize_tensor(sly["wo"], a8=a8, bits=bits)
+        sly["fc1"] = {"w": quantize_tensor(sly["fc1"]["w"], a8=a8, bits=bits),
                       "b": sly["fc1"]["b"]}
-        sly["fc2"] = {"w": quantize_tensor(sly["fc2"]["w"], a8=a8),
+        sly["fc2"] = {"w": quantize_tensor(sly["fc2"]["w"], a8=a8, bits=bits),
                       "b": sly["fc2"]["b"]}
         sl["layers"] = sly
         out["siglip"] = sl

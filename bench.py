@@ -14,8 +14,12 @@ eager AKI-4B at bs8, ~35% MFU prefill + memory-bound decode on 2 TB/s HBM
 
 Env knobs:
   AKI_BENCH_BATCH   batch size (default 16)
-  AKI_BENCH_QUANT   w8 | w8a8 | bf16   (default w8a8: dynamic-int8 matmuls
-                    on the MXU's native int8 path, vision tower included)
+  AKI_BENCH_QUANT   w8 | w8a8 | w4 | w4a8 | bf16   (default w8a8:
+                    dynamic-int8 matmuls on the MXU's native int8 path,
+                    vision tower included). The w4 modes halve decode
+                    weight bytes but int4 arrays do not transfer through
+                    the tunneled axon PJRT plugin (RecursionError) — usable
+                    on direct-attached TPUs / CPU only.
   AKI_BENCH_KV8     1 -> int8 KV cache + fused Pallas decode kernel.
                     Default 0: at bs16 the bf16 cache read through XLA
                     (~530 GB/s) beats the int8 cache read through the
@@ -60,7 +64,7 @@ def main():
     params = jax.jit(
         lambda k: init_aki(k, cfg, dtype=jnp.bfloat16)
     )(jax.random.PRNGKey(0))
-    if QUANT in ("w8", "w8a8"):
+    if QUANT in ("w8", "w8a8", "w4", "w4a8"):
         from aki_tpu.models.quant import quantize_params
 
         params = jax.jit(

@@ -125,3 +125,22 @@ def test_w8a8_forward_close_and_generation_runs():
     toks, _ = generate(qparams, CFG, *A, max_new_tokens=4, max_len=48,
                        policy=F32, use_flash=False)
     assert np.asarray(toks).shape == (1, 4)
+
+
+def test_w4_quantization_and_forward_runs():
+    """int4 per-channel weights: coarse but bounded error; model runs."""
+    rng = np.random.RandomState(9)
+    w = jnp.array(rng.randn(64, 96).astype(np.float32))
+    q4 = quantize_tensor(w, bits=4)
+    assert str(q4.q.dtype) == "int4"
+    deq = np.asarray(q4.q, np.float32) * np.asarray(q4.s, np.float32)
+    err = np.abs(deq - np.asarray(w)) / (np.abs(np.asarray(w)).max(0) + 1e-9)
+    assert err.max() < 0.08  # < 1/(2*7) of per-channel max
+
+    params = init_aki(jax.random.PRNGKey(2), CFG)
+    q = quantize_params(params, mode="w4a8")
+    assert str(q["phi3"]["layers"]["wq"].q.dtype) == "int4"
+    assert q["siglip"]["layers"]["wo"].q.dtype == jnp.int8  # vision stays 8b
+    A = _batch(np.random.RandomState(10), b=1)
+    out = aki_forward(q, CFG, *A, policy=F32, use_flash=False)
+    assert np.isfinite(np.asarray(out.logits, np.float32)).all()
