@@ -42,12 +42,15 @@ class TokenizerInfo:
 
 
 class HFTokenizer:
-    """Wraps a local HF tokenizer directory (SentencePiece slow tokenizer)."""
+    """Wraps a local HF tokenizer directory (SentencePiece slow tokenizer,
+    ``use_fast=False`` like the reference factory; ``use_fast=True`` is the
+    fallback for environments without sentencepiece — same id layout, the
+    fast backend handles added specials identically)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, use_fast: bool = False):
         from transformers import AutoTokenizer
 
-        tok = AutoTokenizer.from_pretrained(path, use_fast=False,
+        tok = AutoTokenizer.from_pretrained(path, use_fast=use_fast,
                                             local_files_only=True)
         # reference guarantees (factory.py:100-109)
         if tok.pad_token is None:

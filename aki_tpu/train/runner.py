@@ -52,6 +52,8 @@ class RunnerConfig:
     order: str = "image_first"         # MMA | DOT ablation ("text_first")
     training_mode: str = "scratch"     # scratch | resume | sft_scratch
     log_every: int = 10
+    host_offload: bool = False         # saved activations -> pinned_host
+                                       # (reference offload_to_cpu analogue)
 
 
 class Trainer:
@@ -102,7 +104,7 @@ class Trainer:
             make_train_step(
                 model_cfg, self.optimizer, policy=self.policy,
                 remat=run_cfg.remat, grad_accum=run_cfg.grad_accum,
-                order=run_cfg.order,
+                order=run_cfg.order, host_offload=run_cfg.host_offload,
             ),
             donate_argnums=(0,),
         )

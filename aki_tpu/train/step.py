@@ -58,7 +58,8 @@ class Batch:
 
 
 def make_loss_fn(cfg: AKIConfig, policy: Policy, remat: bool,
-                 use_flash: bool | None, order: str = "image_first"):
+                 use_flash: bool | None, order: str = "image_first",
+                 host_offload: bool = False):
     def loss_fn(params, batch: Batch):
         out = aki_forward(
             params, cfg, batch.input_ids, batch.images, batch.attn_valid,
@@ -70,6 +71,15 @@ def make_loss_fn(cfg: AKIConfig, policy: Policy, remat: bool,
             loss = loss * batch.loss_weight
         return loss
 
+    if host_offload:
+        # TPU-native analogue of the reference's FSDP
+        # ``offload_to_cpu=True`` (train.py:314-327, distributed.py:207-210):
+        # saved activations move to pinned host memory between forward and
+        # backward instead of occupying HBM — XLA overlaps the transfers.
+        policy_off = jax.checkpoint_policies.offload_dot_with_no_batch_dims(
+            "device", "pinned_host"
+        )
+        return jax.checkpoint(loss_fn, policy=policy_off)
     return loss_fn
 
 
@@ -82,9 +92,11 @@ def make_train_step(
     grad_accum: int = 1,
     order: str = "image_first",
     loss_scale: float = 1.0,
+    host_offload: bool = False,
 ) -> Callable[[TrainState, Batch], tuple[TrainState, dict]]:
     """Build the (un-jitted) train step; jit with donate_argnums=(0,)."""
-    loss_fn = make_loss_fn(cfg, policy, remat, use_flash, order)
+    loss_fn = make_loss_fn(cfg, policy, remat, use_flash, order,
+                           host_offload=host_offload)
 
     def scaled_loss(params, micro):
         return loss_fn(params, micro) * loss_scale

@@ -204,3 +204,39 @@ def test_multi_dataset_step_sums_weighted_grads():
     want_leaf = np.asarray(want["phi3"]["layers"]["wq"])
     np.testing.assert_allclose(got_leaf, want_leaf, rtol=2e-5, atol=2e-5)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_host_offload_step_runs_or_unsupported():
+    """offload_to_cpu analogue: saved activations go to pinned_host via the
+    remat offload policy. Runs where the backend supports host memory
+    kinds; otherwise asserts the structured failure (TPU supports it)."""
+    import optax
+
+    from aki_tpu.models.aki import init_aki
+    from aki_tpu.models.common import F32
+    from aki_tpu.models.configs import aki_tiny
+    from aki_tpu.train.step import Batch, TrainState, make_train_step
+
+    cfg = aki_tiny()
+    params = init_aki(jax.random.PRNGKey(0), cfg)
+    opt = optax.sgd(0.1)
+    state = TrainState.create(params, opt)
+    r = np.random.RandomState(0)
+    b, t = 2, 12
+    ids = r.randint(5, cfg.initial_tokenizer_len - 1, size=(b, t))
+    ids[:, 1] = cfg.media_token_id
+    valid = np.ones((b, t), np.int32)
+    s = cfg.siglip.image_size
+    batch = Batch(
+        input_ids=jnp.array(ids),
+        images=jnp.array(r.randn(b, s, s, 3).astype(np.float32)),
+        attn_valid=jnp.array(valid),
+        labels=jnp.array(np.where(valid == 1, ids, -100)),
+    )
+    step = make_train_step(cfg, opt, policy=F32, remat=False,
+                           use_flash=False, host_offload=True)
+    try:
+        _, m = jax.jit(step)(state, batch)
+        assert np.isfinite(float(m["loss"]))
+    except Exception as e:  # noqa: BLE001 — CPU backends may lack the kind
+        assert "pinned_host" in str(e) or "memory" in str(e).lower(), e
