@@ -261,3 +261,19 @@ def test_akimodel_from_pretrained_and_answer(tmp_path):
     Image.new("RGB", (64, 64), (10, 200, 30)).save(buf, format="PNG")
     text = m.answer(buf.getvalue(), "what color is this ?", max_new_tokens=4)
     assert isinstance(text, str)
+
+
+def test_vlmevalkit_adapter_generates(tmp_path):
+    """The VLMEvalKit duck-type surface: message list in, string out."""
+    from PIL import Image
+    from aki_tpu.infer.vlmevalkit import AKIVLMEval
+
+    img_path = tmp_path / "x.jpg"
+    Image.new("RGB", (64, 64), (10, 200, 30)).save(img_path)
+    m = AKIVLMEval(tiny=True, max_new_tokens=3, max_len=96)
+    assert m.use_custom_prompt("MMBench") is False
+    out = m.generate([
+        {"type": "image", "value": str(img_path)},
+        {"type": "text", "value": "What color is this?"},
+    ])
+    assert isinstance(out, str)
