@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import dataclasses
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -80,9 +82,16 @@ def quantize_acts(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def mm(x: jax.Array, w) -> jax.Array:
-    """x @ w for plain or quantized kernels."""
+    """x @ w for plain or quantized kernels.
+
+    The a8 path engages only when the row count (static) is large enough
+    for the int8 MXU win to beat the act-quant + int32-epilogue overhead:
+    prefill (thousands of rows) quantizes, decode (a handful) streams the
+    int8 weights into a bf16 matmul instead.
+    """
     if is_quantized(w):
-        if w.a8:
+        rows = int(np.prod(x.shape[:-1]))
+        if w.a8 and rows >= 64:
             xq, sx = quantize_acts(x)
             wq = w.q if w.q.dtype == jnp.int8 else w.q.astype(jnp.int8)
             y = jax.lax.dot_general(
