@@ -348,3 +348,70 @@ def test_cached_decode_matches_reference_reforward(models):
         state = decode_step(params, cfg, state,
                             jnp.asarray([tok], jnp.int32), policy=F32)
     assert our_greedy == ref_greedy
+
+
+def test_convert_cli_roundtrip_from_reference_checkpoint(models, tmp_path):
+    """The EXACT real-weights flow, rehearsed at tiny geometry: the
+    reference model's state_dict saved as checkpoint_{epoch}.pt (the
+    trainer's format, vision encoder dropped per train_utils.py:376-410)
+    -> convert CLI -> CheckpointManager run dir -> restored params give
+    reference-parity logits."""
+    ref, cfg, params_direct = models
+
+    sd = {k: v for k, v in ref.state_dict().items()}
+    model_sd = {k: v for k, v in sd.items()
+                if not k.startswith("vision_encoder.")}
+    ckpt_path = tmp_path / "checkpoint_0.pt"
+    torch.save({"model_state_dict": model_sd, "epoch": 0, "step": 12},
+               ckpt_path)
+
+    # SigLIP arrives as a separate HF dir (safetensors), like the real flow
+    from safetensors.numpy import save_file
+
+    siglip_dir = tmp_path / "siglip"
+    siglip_dir.mkdir()
+    vis_sd = {
+        "vision_model." + k.removeprefix("vision_encoder."):
+            v.numpy()
+        for k, v in sd.items() if k.startswith("vision_encoder.")
+    }
+    save_file(vis_sd, siglip_dir / "model.safetensors")
+    (siglip_dir / "config.json").write_text("{}")
+
+    from aki_tpu.convert.cli import import_checkpoint
+
+    out_dir = tmp_path / "imported"
+    # the CLI main() defaults to the aki_4b geometry; at tiny geometry we
+    # call the same entry point with the explicit cfg
+    import_checkpoint(str(ckpt_path), str(out_dir),
+                      siglip=str(siglip_dir), cfg=cfg)
+
+    # restore through the standard manager and check forward parity
+    import optax
+
+    from aki_tpu.train.checkpoints import CheckpointManager
+    from aki_tpu.train.step import TrainState
+
+    params = jax.tree.map(jnp.asarray, jax.tree.map(np.asarray,
+                                                    params_direct))
+    init = {k: jax.tree.map(jnp.zeros_like, v) if k != "siglip" else v
+            for k, v in params.items()}
+    state = TrainState.create(init, optax.sgd(0.0))
+    state, _ = CheckpointManager(str(out_dir)).restore(state)
+    assert int(state.step) == 12
+
+    rng = np.random.RandomState(11)
+    t = 10
+    ids, valid = _rand_prompt(rng, t, media_pos=1, assistant_pos=6)
+    ids, valid = ids[None], valid[None]
+    pixels = rng.randn(1, 3, IMG, IMG).astype(np.float32)
+    out_ref = _ref_forward(ref, ids, valid, pixels)
+    ours = aki_forward(
+        state.params, cfg, jnp.asarray(ids, jnp.int32),
+        jnp.asarray(pixels.transpose(0, 2, 3, 1)),
+        jnp.asarray(valid, jnp.int32), policy=F32, use_flash=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.logits)[0], out_ref.logits[0].float().numpy(),
+        rtol=2e-4, atol=2e-4,
+    )
