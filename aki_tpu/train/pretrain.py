@@ -71,19 +71,38 @@ def main(argv=None):
     )
     trainer = Trainer(model_cfg, run_cfg)
 
-    ds_cfgs = []
+    # dataset-type routing (reference get_dataset_fn, data.py:441-449):
+    # paired captions vs interleaved (MMC4-style) — declared per-dataset
+    # via `type: interleaved` (or the mmc4 name, like SUPPORTED_DATASETS)
+    from ..data.interleaved import InterleavedConfig
+    from ..data.interleaved import batches as interleaved_batches
+
+    ds_cfgs: list[tuple[object, object]] = []  # (cfg, batches_fn)
     for name, d in cfg.datasets.items():
-        ds_cfgs.append(PretrainConfig(
-            shards=d["shards"],
-            batch_size=d.get("batch_size", 8),
-            max_text_len=d.get("max_text_len", 128),
-            image_size=model_cfg.siglip.image_size,
-            dataset_name=name,
-            seed=run_cfg.seed,
-            num_samples=d.get("train_num_samples"),
-            resampled=d.get("resampled", False),
-            loss_multiplier=d.get("loss_multiplier", 1.0),
-        ))
+        kind = d.get("type", "interleaved" if "mmc4" in name else "paired")
+        if kind == "interleaved":
+            ds_cfgs.append((InterleavedConfig(
+                shards=d["shards"],
+                batch_size=d.get("batch_size", 4),
+                max_tokens=d.get("max_text_len", 256),
+                image_size=model_cfg.siglip.image_size,
+                sim_threshold=d.get("mmc4_textsim_threshold", 0.24),
+                min_num_images=d.get("min_num_images", 1),
+                max_num_images=d.get("max_num_images", 6),
+                seed=run_cfg.seed,
+            ), interleaved_batches))
+        else:
+            ds_cfgs.append((PretrainConfig(
+                shards=d["shards"],
+                batch_size=d.get("batch_size", 8),
+                max_text_len=d.get("max_text_len", 128),
+                image_size=model_cfg.siglip.image_size,
+                dataset_name=name,
+                seed=run_cfg.seed,
+                num_samples=d.get("train_num_samples"),
+                resampled=d.get("resampled", False),
+                loss_multiplier=d.get("loss_multiplier", 1.0),
+            ), batches))
 
     epochs = tc.get("num_epochs", 1)
     rank, world = jax.process_index(), jax.process_count()
@@ -94,20 +113,20 @@ def main(argv=None):
         # asserts equal batch counts — zip stops at the shortest)
         num_workers = tc.get("workers", 4)  # reference: 4 workers/GPU
 
-        def make_ds_iter(dc, ep=epoch):
+        def make_ds_iter(dc, batches_fn, ep=epoch):
             def mk(w, n):
-                cfg_w = dataclasses.replace(
-                    dc,
-                    num_samples=(dc.num_samples // n
-                                 if dc.num_samples else None),
-                )
-                return batches(cfg_w, tokenizer, epoch=ep, rank=rank,
-                               world=world, worker=w, num_workers=n)
+                cfg_w = dc
+                if getattr(dc, "num_samples", None):
+                    cfg_w = dataclasses.replace(
+                        dc, num_samples=dc.num_samples // n
+                    )
+                return batches_fn(cfg_w, tokenizer, epoch=ep, rank=rank,
+                                  world=world, worker=w, num_workers=n)
             return mk
 
         iters = [
-            make_loader(make_ds_iter(dc), num_workers=num_workers)
-            for dc in ds_cfgs
+            make_loader(make_ds_iter(dc, fn), num_workers=num_workers)
+            for dc, fn in ds_cfgs
         ]
         stream = iters[0] if len(iters) == 1 else zip(*iters)
         step = trainer.run_epoch(stream, epoch)

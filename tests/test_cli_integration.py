@@ -277,3 +277,84 @@ def test_vlmevalkit_adapter_generates(tmp_path):
         {"type": "text", "value": "What color is this?"},
     ])
     assert isinstance(out, str)
+
+
+def test_pretrain_cli_mixed_paired_interleaved(tmp_path):
+    """Multi-dataset pretrain step over a paired + an interleaved (MMC4)
+    dataset: one optimizer step consumes one batch from each, multi-image
+    batches flow through the interleaved splice."""
+    import base64
+
+    from PIL import Image
+    from aki_tpu.train.pretrain import main
+
+    # paired shard
+    shard = tmp_path / "pair-0000.tar"
+    with tarfile.open(shard, "w") as tf:
+        for i in range(16):
+            img = Image.new("RGB", (40, 40), (i * 9 % 255, 10, 30))
+            b = io.BytesIO()
+            img.save(b, format="JPEG")
+            ti = tarfile.TarInfo(f"{i:05d}.jpg")
+            ti.size = len(b.getvalue())
+            tf.addfile(ti, io.BytesIO(b.getvalue()))
+            txt = f"caption {i}".encode()
+            ti = tarfile.TarInfo(f"{i:05d}.txt")
+            ti.size = len(txt)
+            tf.addfile(ti, io.BytesIO(txt))
+
+    # interleaved shard (mmc4-style json samples)
+    def b64_img(color):
+        img = Image.new("RGB", (48, 48), color)
+        b = io.BytesIO()
+        img.save(b, format="PNG")
+        return base64.b64encode(b.getvalue() + b"\0" * 8000).decode()
+
+    mshard = tmp_path / "mmc4-0000.tar"
+    with tarfile.open(mshard, "w") as tf:
+        for i in range(12):
+            info = {
+                "text_list": [f"sentence {i} one", f"sentence {i} two"],
+                "similarity_matrix": [[0.9, 0.1]],
+                "image_info": [{"image_base64": b64_img((i * 9 % 255, 5, 5))}],
+            }
+            payload = json.dumps(info).encode()
+            ti = tarfile.TarInfo(f"{i:05d}.json")
+            ti.size = len(payload)
+            tf.addfile(ti, io.BytesIO(payload))
+
+    (tmp_path / "pt.yaml").write_text(yaml.safe_dump({
+        "root": str(tmp_path),
+        "tokenizer_path": None,
+        "tiny": True,
+        "mesh": {"data": 2, "fsdp": 2, "tensor": 2},
+        "training": {
+            "run_dir": str(tmp_path / "run_mixed"),
+            "precision": "fp32",
+            "learning_rate": 1e-3,
+            "total_steps": 2,
+            "num_epochs": 1,
+            "warmup_steps": 1,
+            "checkpoint_steps": 10,
+            "log_every": 1,
+            "workers": 1,
+        },
+        "datasets": {
+            "blip3_kale": {
+                "shards": str(shard), "batch_size": 4, "max_text_len": 16,
+            },
+            "mmc4": {
+                "type": "interleaved",
+                # batch must divide the data x fsdp axes (GSPMD sharding)
+                "shards": str(mshard), "batch_size": 4, "max_text_len": 48,
+                "max_num_images": 2,
+            },
+        },
+    }))
+    main(["--config", str(tmp_path / "pt.yaml")])
+    metrics = [
+        json.loads(l) for l in
+        (tmp_path / "run_mixed" / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert len(metrics) == 2
+    assert all(np.isfinite(m["training_loss"]) for m in metrics)
