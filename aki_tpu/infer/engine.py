@@ -56,6 +56,7 @@ def prefill(
     order: str = "image_first",
     vision_tokens: jax.Array | None = None,
     kv_int8: bool = False,
+    tp_mesh=None,
 ) -> GenState:
     """Run the prompt through the model, filling the KV cache.
 
@@ -85,7 +86,7 @@ def prefill(
         params["phi3"], cfg.phi3, sp.embeds, sp.positions,
         spec=sp.spec, kv_valid=kv_valid,
         cache=cache, cache_index=jnp.zeros((b,), jnp.int32),
-        policy=policy, use_flash=use_flash,
+        policy=policy, use_flash=use_flash, tp_mesh=tp_mesh,
     )
     # head only on each sample's last valid position — full-sequence logits
     # at prefill are (B, T, 32k) of dead weight (HBM + 5% of the FLOPs)
@@ -135,7 +136,7 @@ def decode_step(
     jax.jit,
     static_argnames=(
         "cfg", "max_new_tokens", "max_len", "sampling", "policy", "use_flash",
-        "order", "kv_int8",
+        "order", "kv_int8", "tp_mesh",
     ),
 )
 def generate(
@@ -153,6 +154,7 @@ def generate(
     use_flash: bool | None = None,
     order: str = "image_first",
     kv_int8: bool = False,
+    tp_mesh=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Batched generation.
 
@@ -167,6 +169,7 @@ def generate(
     state = prefill(
         params, cfg, input_ids, images, attn_valid, max_len,
         policy=policy, use_flash=use_flash, order=order, kv_int8=kv_int8,
+        tp_mesh=tp_mesh,
     )
     b = input_ids.shape[0]
 

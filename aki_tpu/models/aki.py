@@ -124,6 +124,7 @@ def aki_forward(
     use_flash: bool | None = None,
     order: str = "image_first",
     vision_tokens: jax.Array | None = None,
+    tp_mesh=None,
 ) -> AKIOutput:
     """Training/eval forward.
 
@@ -155,7 +156,7 @@ def aki_forward(
     hidden, _ = phi3_forward(
         params["phi3"], cfg.phi3, sp.embeds, sp.positions,
         spec=sp.spec, kv_valid=sp.attn_valid,
-        policy=policy, remat=remat, use_flash=use_flash,
+        policy=policy, remat=remat, use_flash=use_flash, tp_mesh=tp_mesh,
     )
     logits = lm_logits(params, cfg, hidden, policy)
     loss = next_token_loss(logits, sp.labels) if labels is not None else None

@@ -169,6 +169,7 @@ def _attention_layer(
                               # ("q8", k8, ks, v8, vs, li, wpos)
     use_flash: bool,
     eps: float,
+    tp_mesh=None,
 ):
     b, t, d = x.shape
     nh, nkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -255,7 +256,16 @@ def _attention_layer(
         k_att, v_att = k, v
 
     if attn is None:
-        if use_flash:
+        if use_flash and tp_mesh is not None:
+            # tensor-parallel serving: shard the kernel over heads with
+            # shard_map (a bare pallas_call under pjit would replicate)
+            from ..ops.flash_mma import flash_mma_attention_tp
+
+            attn = flash_mma_attention_tp(
+                q, k_att, v_att, mesh=tp_mesh, spec=spec,
+                kv_valid=kv_valid_att, q_offset=q_offset,
+            )
+        elif use_flash:
             from ..ops.flash_mma import flash_mma_attention
 
             attn = flash_mma_attention(
@@ -298,6 +308,7 @@ def phi3_forward(
     policy: Policy = Policy(),
     remat: bool = False,
     use_flash: bool | None = None,
+    tp_mesh=None,
 ) -> tuple[jax.Array, KVCache | None]:
     """Run the decoder stack over ``inputs_embeds``.
 
@@ -341,6 +352,7 @@ def phi3_forward(
                 y, new_kv = _attention_layer(
                     x, lp, cos, sin, cfg, spec, kv_valid, q_offset,
                     ("q8", k8, ks, v8, vs, li, wpos), use_flash, eps,
+                    tp_mesh,
                 )
                 return (y, *new_kv), None
 
@@ -355,7 +367,7 @@ def phi3_forward(
                 lp, li = scanned
                 y, new_kv = _attention_layer(
                     x, lp, cos, sin, cfg, spec, kv_valid, q_offset,
-                    ("bf16", ck, cv, li, wpos), use_flash, eps,
+                    ("bf16", ck, cv, li, wpos), use_flash, eps, tp_mesh,
                 )
                 return (y, new_kv[0], new_kv[1]), None
 
@@ -368,7 +380,7 @@ def phi3_forward(
         def body(x, lp):
             y, _ = _attention_layer(
                 x, lp, cos, sin, cfg, spec, kv_valid, q_offset,
-                None, use_flash, eps,
+                None, use_flash, eps, tp_mesh,
             )
             return y, None
 

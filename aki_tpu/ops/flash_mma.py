@@ -294,6 +294,56 @@ def _flash_bwd(causal, scale, block_q, block_kv, interpret, res, g):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+def flash_mma_attention_tp(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mesh,
+    axis: str = "tensor",
+    spec: MMASpec | None = None,
+    kv_valid: jax.Array | None = None,
+    q_offset: jax.Array | int = 0,
+    **kw,
+) -> jax.Array:
+    """Tensor-parallel flash MMA attention: heads shard over ``axis``.
+
+    Attention is embarrassingly parallel over heads, so the shard_map has
+    ZERO collectives — each device runs the kernel on its head shard (the
+    qkv projections already produce tensor-sharded heads under GSPMD, so
+    the in_specs match the data's existing placement). A bare pallas_call
+    under pjit would instead be replicated around (all-gather + redundant
+    compute) because XLA cannot partition an opaque custom call.
+    """
+    try:
+        from jax import shard_map  # modern location
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    b = q.shape[0]
+    img_start, txt_start, txt_end, _ = _normalize_spec(spec, b)
+    if kv_valid is None:
+        kv_valid = jnp.ones((b, k.shape[1]), jnp.int32)
+    q_offset = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (b,))
+
+    heads = P(None, None, axis, None)
+    rep = P()
+
+    def local(q_, k_, v_, i0, t0, t1, kvv, qo):
+        return flash_mma_attention(
+            q_, k_, v_,
+            spec=MMASpec(img_start=i0, txt_start=t0, txt_end=t1),
+            kv_valid=kvv, q_offset=qo, **kw,
+        )
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(heads, heads, heads, rep, rep, rep, rep, rep),
+        out_specs=heads,
+        check_rep=False,
+    )(q, k, v, img_start, txt_start, txt_end, kv_valid, q_offset)
+
+
 def flash_mma_attention(
     q: jax.Array,
     k: jax.Array,
