@@ -314,10 +314,16 @@ def flash_mma_attention_tp(
     under pjit would instead be replicated around (all-gather + redundant
     compute) because XLA cannot partition an opaque custom call.
     """
+    import functools as _ft
+
     try:
-        from jax import shard_map  # modern location
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map as _sm  # modern: check_vma kwarg
+
+        shard_map = _ft.partial(_sm, check_vma=False)
+    except ImportError:  # older jax: check_rep kwarg
+        from jax.experimental.shard_map import shard_map as _sm
+
+        shard_map = _ft.partial(_sm, check_rep=False)
     from jax.sharding import PartitionSpec as P
 
     b = q.shape[0]
@@ -340,7 +346,6 @@ def flash_mma_attention_tp(
         local, mesh=mesh,
         in_specs=(heads, heads, heads, rep, rep, rep, rep, rep),
         out_specs=heads,
-        check_rep=False,
     )(q, k, v, img_start, txt_start, txt_end, kv_valid, q_offset)
 
 
