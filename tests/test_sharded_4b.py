@@ -126,3 +126,54 @@ def test_checkpoint_cross_topology_restore(tmp_path):
                                    use_flash=False), donate_argnums=(0,))
     new_state, m = step(restored, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_aki4b_train_step_lowers_on_8dev_mesh():
+    """Trace + lower (no compile, no materialization) the FULL AKI-4B
+    train step with dp1 x fsdp8 shardings on the virtual 8-device mesh —
+    catches sharding-propagation errors at the real geometry."""
+    import optax
+
+    from aki_tpu.train.step import Batch, TrainState, make_train_step
+
+    cfg = aki_4b()
+    key = jax.random.PRNGKey(0)
+    param_shapes = jax.eval_shape(lambda k: init_aki(k, cfg), key)
+    mesh = create_mesh(MeshConfig(data=1, fsdp=8, tensor=1))
+    shardings = param_shardings(param_shapes, mesh)
+
+    opt = optax.adamw(1e-4)
+    state_shapes = jax.eval_shape(
+        lambda p: TrainState.create(p, opt), param_shapes
+    )
+
+    def annotate(tree, shard_tree=None):
+        # attach shardings to the abstract avals where we have them
+        if shard_tree is None:
+            return tree
+        return jax.tree.map(
+            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+            tree, shard_tree,
+        )
+
+    state_abs = TrainState(
+        params=annotate(state_shapes.params, shardings),
+        opt_state=state_shapes.opt_state,
+        step=state_shapes.step,
+    )
+    b, t = 16, 512
+    s = cfg.siglip.image_size
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    bsh = NamedSharding(mesh, P(("data", "fsdp")))
+    batch_abs = Batch(
+        input_ids=jax.ShapeDtypeStruct((b, t), jnp.int32, sharding=bsh),
+        images=jax.ShapeDtypeStruct((b, s, s, 3), jnp.float32, sharding=bsh),
+        attn_valid=jax.ShapeDtypeStruct((b, t), jnp.int32, sharding=bsh),
+        labels=jax.ShapeDtypeStruct((b, t), jnp.int32, sharding=bsh),
+    )
+    step = make_train_step(cfg, opt, remat=True, use_flash=False)
+    lowered = jax.jit(step, donate_argnums=(0,)).lower(state_abs, batch_abs)
+    assert lowered is not None
+    text = lowered.as_text()
+    assert "dot" in text  # sanity: a real compute graph came out
