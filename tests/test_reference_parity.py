@@ -415,3 +415,67 @@ def test_convert_cli_roundtrip_from_reference_checkpoint(models, tmp_path):
         np.asarray(ours.logits)[0], out_ref.logits[0].float().numpy(),
         rtol=2e-4, atol=2e-4,
     )
+
+
+@pytest.mark.parametrize("immediate", [True, False])
+@pytest.mark.parametrize("use_cached", [False, True])
+def test_gated_xattn_matches_reference(immediate, use_cached):
+    """Pin the legacy Flamingo gated cross-attention block
+    (helpers.py:203-346) to the reference module itself: same weights,
+    same media-time masking, both attend-immediate and attend-all modes,
+    prefill and cached-decode text-time variants."""
+    _load_ref_aki()
+    helpers = importlib.import_module("refof.src.helpers")
+
+    from aki_tpu.models.flamingo import gated_xattn_block
+
+    dim, dim_visual, dim_head, heads, ff_mult = 32, 24, 8, 2, 2
+    torch.manual_seed(3)
+    ref_blk = helpers.GatedCrossAttentionBlock(
+        dim=dim, dim_visual=dim_visual, dim_head=dim_head, heads=heads,
+        ff_mult=ff_mult, only_attend_immediate_media=immediate,
+    ).eval().float()
+    with torch.no_grad():
+        ref_blk.attn_gate.fill_(0.7)   # open the gates (init 0 = identity)
+        ref_blk.ff_gate.fill_(-0.3)
+
+    sd = ref_blk.state_dict()
+    t = lambda k: jnp.asarray(sd[k].numpy().T.copy())
+    a = lambda k: jnp.asarray(sd[k].numpy())
+    xp = {
+        "norm": {"scale": a("attn.norm.weight")[None],
+                 "bias": a("attn.norm.bias")[None]},
+        "to_q": t("attn.to_q.weight")[None],
+        "to_kv": t("attn.to_kv.weight")[None],
+        "to_out": t("attn.to_out.weight")[None],
+        "attn_gate": a("attn_gate")[None],
+        "ff_ln": {"scale": a("ff.0.weight")[None],
+                  "bias": a("ff.0.bias")[None]},
+        "ff1": t("ff.1.weight")[None],
+        "ff2": t("ff.3.weight")[None],
+        "ff_gate": a("ff_gate")[None],
+    }
+    xp = jax.tree.map(lambda v: v[0], xp)  # single block: drop the G dim
+
+    rng = np.random.RandomState(4)
+    b, t_txt, t_img, n_lat = 2, 10, 2, 3
+    x = rng.randn(b, t_txt, dim).astype(np.float32)
+    media = rng.randn(b, t_img, n_lat, dim_visual).astype(np.float32)
+    locs = np.zeros((b, t_txt), bool)
+    locs[0, 1] = locs[0, 5] = True   # two media in row 0
+    locs[1, 3] = True                # one in row 1
+
+    with torch.no_grad():
+        want = ref_blk(
+            torch.tensor(x), torch.tensor(media),
+            media_locations=torch.tensor(locs),
+            use_cached_media=use_cached,
+        ).numpy()
+
+    got = gated_xattn_block(
+        xp, jnp.asarray(x), jnp.asarray(media), jnp.asarray(locs),
+        heads=heads, dim_head=dim_head,
+        only_attend_immediate_media=immediate,
+        use_cached_media=use_cached,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
