@@ -66,7 +66,8 @@ def prefill(
     """
     b, t_txt = input_ids.shape
     if vision_tokens is None:
-        vision_tokens = encode_vision(params, cfg, images, policy)
+        vision_tokens = encode_vision(params, cfg, images, policy,
+                                      tp_mesh=tp_mesh)
     text_embeds = embed_text(params, cfg, input_ids, policy)
     sp = splice_vision_tokens(
         text_embeds, vision_tokens, input_ids, attn_valid,

@@ -56,6 +56,7 @@ def init_aki(key, cfg: AKIConfig, dtype=jnp.float32) -> Params:
 def encode_vision(
     params: Params, cfg: AKIConfig, images: jax.Array,
     policy: Policy = Policy(),
+    tp_mesh=None,
 ) -> jax.Array:
     """Pixels -> vision tokens. (B, H, W, C) -> (B, n_vis, D_lm), or
     (B, N_img, H, W, C) -> (B, N_img, n_vis, D_lm) for interleaved inputs.
@@ -67,7 +68,8 @@ def encode_vision(
     if multi:
         b, n = images.shape[:2]
         images = images.reshape((b * n,) + images.shape[2:])
-    feats = siglip_forward(params["siglip"], cfg.siglip, images, policy)
+    feats = siglip_forward(params["siglip"], cfg.siglip, images, policy,
+                           tp_mesh=tp_mesh)
     feats = jax.lax.stop_gradient(feats)
     toks = perceiver_forward(params["perceiver"], cfg.perceiver, feats, policy)
     if multi:
@@ -136,7 +138,8 @@ def aki_forward(
         order: "image_first" (MMA) | "text_first" (DOT ablation).
     """
     if vision_tokens is None:
-        vision_tokens = encode_vision(params, cfg, images, policy)
+        vision_tokens = encode_vision(params, cfg, images, policy,
+                                      tp_mesh=tp_mesh)
 
     text_embeds = embed_text(params, cfg, input_ids, policy)
     if vision_tokens.ndim == 4:

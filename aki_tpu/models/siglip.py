@@ -75,6 +75,7 @@ def siglip_forward(
     cfg: SigLIPVisionConfig,
     images: jax.Array,
     policy: Policy = Policy(),
+    tp_mesh=None,
 ) -> jax.Array:
     """Encode images.
 
@@ -107,7 +108,12 @@ def siglip_forward(
             q = (mm(h, lp["wq"]) + lp["bq"]).reshape(b, t, nh, dh)
             k = (mm(h, lp["wk"]) + lp["bk"]).reshape(b, t, nh, dh)
             v = (mm(h, lp["wv"]) + lp["bv"]).reshape(b, t, nh, dh)
-        if use_flash:
+        if use_flash and tp_mesh is not None:
+            from ..ops.flash_mma import flash_mma_attention_tp
+
+            attn = flash_mma_attention_tp(q, k, v, mesh=tp_mesh,
+                                          causal=False)
+        elif use_flash:
             from ..ops.flash_mma import flash_mma_attention
 
             attn = flash_mma_attention(q, k, v, causal=False)
