@@ -66,3 +66,29 @@ def test_server_eos_frees_slot_early():
     assert r1.result(timeout=1) == []     # stopped at eos immediately
     assert len(r2.result(timeout=1)) == 3
     assert steps <= 8  # early slot free: far fewer than 8+3 sequential steps
+
+
+def test_predict_cli_end_to_end(tmp_path):
+    """JSONL in -> continuous-batching server -> JSONL out (the external
+    eval-harness adapter surface)."""
+    import json
+
+    from PIL import Image
+
+    from aki_tpu.infer.predict import main
+
+    img = tmp_path / "x.jpg"
+    Image.new("RGB", (64, 64), (120, 30, 40)).save(img)
+    reqs = [{"image": str(img), "question": f"what is item {i}?", "id": i}
+            for i in range(3)]
+    inp = tmp_path / "in.jsonl"
+    inp.write_text("\n".join(json.dumps(r) for r in reqs))
+    out = tmp_path / "out.jsonl"
+
+    main(["--tiny", "--input", str(inp), "--output", str(out),
+          "--slots", "2", "--max-new-tokens", "3", "--max-len", "96",
+          "--prompt-bucket", "64"])
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert len(lines) == 3
+    assert {l["id"] for l in lines} == {0, 1, 2}
+    assert all(isinstance(l["answer"], str) for l in lines)
