@@ -53,6 +53,7 @@ def _kernel(
     scale: float,
     block_q: int,
     block_kv: int,
+    block_h: int,
     num_images: int,
     causal: bool,
 ):
@@ -90,14 +91,10 @@ def _kernel(
 
     @pl.when(causal_overlap | mma_overlap)
     def _compute():
-        q = q_ref[0, 0]            # (block_q, d)
-        k = k_ref[0, 0]            # (block_kv, d)
-        v = v_ref[0, 0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale                  # (block_q, block_kv)
-
+        # The mask depends only on positions — build it ONCE per cell and
+        # share it across the block_h heads processed here (this VPU work
+        # rivals the MXU dots at AKI tile sizes; amortizing it is the point
+        # of multi-head cells).
         q_pos = q_start + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_kv), 0
         )
@@ -113,28 +110,102 @@ def _kernel(
                 (q_pos >= i0) & (q_pos < t0) & (k_pos >= t0) & (k_pos < t1)
             )
         ok = ok & (kv_valid_ref[0] != 0)  # (1, block_kv) broadcasts over rows
+        neg = jnp.where(ok, 0.0, NEG_INF)  # additive mask, reused per head
 
-        s = jnp.where(ok, s, NEG_INF)
-        m_prev = m_scr[:, :1]                     # (block_q, 1)
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        # fully-masked rows: m_new == NEG_INF -> exp(0) == 1 garbage; zero it
-        p = jnp.where(ok, p, 0.0)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+        for g in range(block_h):           # unrolled: static 2D dots (Mosaic
+            q = q_ref[0, g]                # has no batched dot_general)
+            k = k_ref[0, g]
+            v = v_ref[0, g]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + neg                        # (block_q, block_kv); scale is
+                                           # pre-folded into q by the wrapper
+
+            m_prev = m_scr[g][:, :1]                  # (block_q, 1)
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(s - m_new)
+            # fully-masked rows: m_new == NEG_INF -> exp(0) == 1 garbage
+            p = jnp.where(ok, p, 0.0)
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = l_scr[g][:, :1] * alpha + jnp.sum(
+                p, axis=-1, keepdims=True
+            )
+            acc_scr[g] = acc_scr[g] * alpha + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_scr[g] = jnp.broadcast_to(m_new, m_scr.shape[1:])
+            l_scr[g] = jnp.broadcast_to(l_new, l_scr.shape[1:])
 
     @pl.when(kj == nk - 1)
     def _finalize():
-        l = l_scr[:, :1]
+        for g in range(block_h):
+            l = l_scr[g][:, :1]
+            l = jnp.where(l == 0.0, 1.0, l)
+            o_ref[0, g] = (acc_scr[g] / l).astype(o_ref.dtype)
+
+
+def _kernel_1kv(
+    # scalar prefetch (SMEM)
+    img_start_ref, txt_start_ref, txt_end_ref, q_offset_ref,
+    # inputs (VMEM tiles)
+    q_ref, k_ref, v_ref, kv_valid_ref,
+    # output
+    o_ref,
+    *,
+    scale: float,
+    block_q: int,
+    block_kv: int,
+    block_h: int,
+    num_images: int,
+    causal: bool,
+):
+    """Single-KV-tile specialization: the whole softmax happens in one cell,
+    so the online-softmax scratch (m/l/acc across kj) is dead weight — this
+    variant needs none, which is what lets block_h > 2 fit scoped VMEM.
+    AKI sequences (~0.7k spliced) always take this path."""
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    q_offset = q_offset_ref[b]
+    q_start = qi * block_q + q_offset
+
+    q_pos = q_start + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_kv), 0
+    )
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+    ok = (k_pos <= q_pos) if causal else (k_pos == k_pos)
+    for n in range(num_images):
+        i0 = img_start_ref[b, n]
+        t0 = txt_start_ref[b, n]
+        t1 = txt_end_ref[b, n]
+        ok = ok | (
+            (q_pos >= i0) & (q_pos < t0) & (k_pos >= t0) & (k_pos < t1)
+        )
+    ok = ok & (kv_valid_ref[0] != 0)
+
+    for g in range(block_h):
+        q = q_ref[0, g]          # scale pre-folded into q by the wrapper
+        k = k_ref[0, g]
+        v = v_ref[0, g]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = jnp.where(ok, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        # masked entries: exp(NEG_INF - m) == 0 exactly, no second where
+        # needed. Fully-masked ROWS (m == NEG_INF -> p == 1) exist only
+        # among q-padding rows, which the wrapper slices away.
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
         l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        acc = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, g] = (acc / l).astype(o_ref.dtype)
 
 
 def _normalize_spec(spec, batch):
@@ -160,18 +231,18 @@ def _pad_to(x, size, axis):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10)
 )
 def _flash(q, k, v, packed_spec, kv_valid_and_offset,
-           causal, scale, block_q, block_kv, interpret):
+           causal, scale, block_q, block_kv, block_h, interpret):
     return _flash_fwd_impl(
         q, k, v, packed_spec, kv_valid_and_offset,
-        causal, scale, block_q, block_kv, interpret,
+        causal, scale, block_q, block_kv, block_h, interpret,
     )
 
 
 def _flash_fwd_impl(q, k, v, packed_spec, kv_valid_and_offset,
-                    causal, scale, block_q, block_kv, interpret):
+                    causal, scale, block_q, block_kv, block_h, interpret):
     img_start, txt_start, txt_end = packed_spec
     kv_valid, q_offset = kv_valid_and_offset
     b, t, h, d = q.shape
@@ -180,6 +251,15 @@ def _flash_fwd_impl(q, k, v, packed_spec, kv_valid_and_offset,
     group = h // hkv
     n_img = img_start.shape[1]
 
+    # Multi-head cells: block_h q-heads share one grid cell so the mask
+    # predicate (pure VPU work, identical across heads) is built once.
+    # GQA keeps block_h == 1 — heads in one cell would span several KV
+    # heads and need distinct K/V tiles.
+    if group != 1:
+        block_h = 1
+    while h % block_h:
+        block_h //= 2
+
     # Pad head dim to the 128-lane boundary and seq lens to block multiples.
     d_pad = max(128, ((d + 127) // 128) * 128)
     block_q = min(block_q, max(128, ((t + 127) // 128) * 128))
@@ -187,19 +267,34 @@ def _flash_fwd_impl(q, k, v, packed_spec, kv_valid_and_offset,
     t_pad = ((t + block_q - 1) // block_q) * block_q
     s_pad = ((s_len + block_kv - 1) // block_kv) * block_kv
 
-    qt = _pad_to(_pad_to(q, t_pad, 1), d_pad, 3).transpose(0, 2, 1, 3)
+    # Fold the softmax scale into q here: one elementwise pass over
+    # (B,T,H,D) instead of a per-cell pass over every (block_q, block_kv)
+    # score tile inside the kernel.
+    qt = _pad_to(_pad_to(q * jnp.asarray(scale, q.dtype), t_pad, 1),
+                 d_pad, 3).transpose(0, 2, 1, 3)
     kt = _pad_to(_pad_to(k, s_pad, 1), d_pad, 3).transpose(0, 2, 1, 3)
     vt = _pad_to(_pad_to(v, s_pad, 1), d_pad, 3).transpose(0, 2, 1, 3)
     # (B, 1, S): middle dim full so the (1, 1, block_kv) block tiles legally
     kv_valid_p = _pad_to(kv_valid.astype(jnp.int32), s_pad, 1)[:, None, :]
 
     nq, nk = t_pad // block_q, s_pad // block_kv
-    grid = (b, h, nq, nk)
+    if nk > 1 and block_h > 2:
+        block_h = 2   # scoped-VMEM budget: online-softmax scratch scales
+        while h % block_h:   # with block_h
+            block_h //= 2
+    block_h = min(block_h, 16)  # >16 heads of tiles blow VMEM at 768-blocks
+    grid = (b, h // block_h, nq, nk)
 
     kernel = functools.partial(
-        _kernel, scale=scale, block_q=block_q, block_kv=block_kv,
-        num_images=n_img, causal=causal,
+        _kernel_1kv if nk == 1 else _kernel,
+        scale=scale, block_q=block_q, block_kv=block_kv,
+        block_h=block_h, num_images=n_img, causal=causal,
     )
+    scratch = [] if nk == 1 else [
+        pltpu.VMEM((block_h, block_q, 128), jnp.float32),
+        pltpu.VMEM((block_h, block_q, 128), jnp.float32),
+        pltpu.VMEM((block_h, block_q, d_pad), jnp.float32),
+    ]
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -207,16 +302,20 @@ def _flash_fwd_impl(q, k, v, packed_spec, kv_valid_and_offset,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (1, 1, block_q, d_pad),
+                    (1, block_h, block_q, d_pad),
                     lambda bb, hh, qi, kj, *_: (bb, hh, qi, 0),
                 ),
                 pl.BlockSpec(
-                    (1, 1, block_kv, d_pad),
-                    lambda bb, hh, qi, kj, *_, g=group: (bb, hh // g, kj, 0),
+                    (1, block_h, block_kv, d_pad),
+                    lambda bb, hh, qi, kj, *_, g=group: (
+                        (bb, hh, kj, 0) if g == 1 else (bb, hh // g, kj, 0)
+                    ),
                 ),
                 pl.BlockSpec(
-                    (1, 1, block_kv, d_pad),
-                    lambda bb, hh, qi, kj, *_, g=group: (bb, hh // g, kj, 0),
+                    (1, block_h, block_kv, d_pad),
+                    lambda bb, hh, qi, kj, *_, g=group: (
+                        (bb, hh, kj, 0) if g == 1 else (bb, hh // g, kj, 0)
+                    ),
                 ),
                 pl.BlockSpec(
                     (1, 1, block_kv),
@@ -224,18 +323,17 @@ def _flash_fwd_impl(q, k, v, packed_spec, kv_valid_and_offset,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, block_q, d_pad),
+                (1, block_h, block_q, d_pad),
                 lambda bb, hh, qi, kj, *_: (bb, hh, qi, 0),
             ),
-            scratch_shapes=[
-                pltpu.VMEM((block_q, 128), jnp.float32),
-                pltpu.VMEM((block_q, 128), jnp.float32),
-                pltpu.VMEM((block_q, d_pad), jnp.float32),
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d_pad), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # default scoped-VMEM budget is 16MB; multi-head tiles at
+            # block_h=8 need ~25MB (v5e has 128MB VMEM)
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(img_start, txt_start, txt_end, q_offset.astype(jnp.int32),
@@ -250,15 +348,15 @@ BACKWARD_IMPL = "flash"
 
 
 def _flash_fwd(q, k, v, packed_spec, kv_valid_and_offset,
-               causal, scale, block_q, block_kv, interpret):
+               causal, scale, block_q, block_kv, block_h, interpret):
     out = _flash_fwd_impl(
         q, k, v, packed_spec, kv_valid_and_offset,
-        causal, scale, block_q, block_kv, interpret,
+        causal, scale, block_q, block_kv, block_h, interpret,
     )
     return out, (q, k, v, out, packed_spec, kv_valid_and_offset)
 
 
-def _flash_bwd(causal, scale, block_q, block_kv, interpret, res, g):
+def _flash_bwd(causal, scale, block_q, block_kv, block_h, interpret, res, g):
     q, k, v, out, packed_spec, kv_valid_and_offset = res
     img_start, txt_start, txt_end = packed_spec
     kv_valid, q_offset = kv_valid_and_offset
@@ -360,6 +458,7 @@ def flash_mma_attention(
     scale: float | None = None,
     block_q: int = 1024,
     block_kv: int = 1024,
+    block_h: int = 8,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Flash MMA attention. Shapes as :func:`aki_tpu.ops.attention.dense_attention`.
@@ -386,5 +485,6 @@ def flash_mma_attention(
     return _flash(
         q, k, v, (img_start, txt_start, txt_end),
         (kv_valid.astype(jnp.int32), q_offset),
-        causal, float(scale), int(block_q), int(block_kv), bool(interpret),
+        causal, float(scale), int(block_q), int(block_kv), int(block_h),
+        bool(interpret),
     )
