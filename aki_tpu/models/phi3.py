@@ -193,27 +193,30 @@ def _attention_layer(
     attn = None
     kv_valid_att = kv_valid
     if cache_kv is not None and cache_kv[0] == "q8":
-        from ..ops.decode_attention import (
-            decode_attention_flat, quantize_kv_flat,
-        )
+        from ..ops import decode_attention as da
 
         _, ck8, cks, cv8, cvs, li, wpos = cache_kv
-        k8, ksc = quantize_kv_flat(k)
-        v8, vsc = quantize_kv_flat(v)
+        k8, ksc = da.quantize_kv_flat(k)
+        v8, vsc = da.quantize_kv_flat(v)
         if t == 1:
             ck8 = _scatter_flat(ck8, k8, li, wpos)
             cks = _scatter_scale_hm(cks, ksc, li, wpos)
             cv8 = _scatter_flat(cv8, v8, li, wpos)
             cvs = _scatter_scale_hm(cvs, vsc, li, wpos)
-            # fused decode over the int8 cache — the kernel indexes the
-            # stacked buffers at [li] in its BlockSpec (zero-copy; a
-            # wrapper-level dynamic_slice would materialize the layer)
+            # decode over the int8 cache: "xla" = int8 dot_general straight
+            # against the stacked buffers (layer slice fuses into the dot);
+            # "pallas" = the fused kernel indexing [li] in its BlockSpec
             lengths = jnp.broadcast_to(
                 jnp.asarray(q_offset, jnp.int32), (b,)
             ) + 1
-            attn = decode_attention_flat(
-                q, ck8, cks, cv8, cvs, lengths, li,
-            )
+            if da.DECODE_IMPL == "xla":
+                attn = da.decode_attention_flat_xla(
+                    q, ck8, cks, cv8, cvs, lengths, li,
+                )
+            else:
+                attn = da.decode_attention_flat(
+                    q, ck8, cks, cv8, cvs, lengths, li,
+                )
         else:
             # prefill: quantize+store the whole block (one contiguous
             # DUS); attention runs on the local bf16 K/V — no need to

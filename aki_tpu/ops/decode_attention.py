@@ -334,6 +334,84 @@ def decode_attention_flat(
     return out[:, None].astype(q.dtype)  # (B, 1, H, D)
 
 
+# Which int8-decode implementation the model uses. Measured on v5e (bs16,
+# 704-slot cache): "xla" reads the int8 cache at XLA streaming bandwidth
+# (~295 GB/s effective incl. the extra quant/scale VPU work -> 7.5 ms/step
+# vs 9.9 ms bf16); "pallas" (the fused kernel above) is capped by the
+# ~260 GB/s Pallas DMA ceiling of this stack and only reaches bf16 parity.
+DECODE_IMPL = "xla"
+
+
+def decode_attention_flat_xla(
+    q: jax.Array,           # (B, 1, H, D)
+    k: jax.Array,           # (L, B, S, Hkv*D) int8 flat cache
+    ks: jax.Array,          # (L, B, Hkv, S) f32 per-(token, head) K scales
+    v: jax.Array,
+    vs: jax.Array,
+    lengths: jax.Array,     # (B,) live tokens incl. the just-written one
+    layer: jax.Array,       # scalar layer index
+    scale: float | None = None,
+) -> jax.Array:
+    """XLA-native single-token attention over one layer of the int8 cache.
+
+    Same contract (and the same block-diagonal math) as
+    :func:`decode_attention_flat`, but expressed in XLA: the flat (B, S, F)
+    layer slice is consumed DIRECTLY by int8 x int8 ``dot_general``s
+    against a block-diagonal Q — never reshaped to (B, S, Hkv, D), which
+    would physically relayout the whole cache every layer (D=96 is not a
+    lane multiple; measured ~7 ms/layer of relayout). The wasted
+    off-diagonal MXU FLOPs are trivial (~0.4 ms/step for AKI-4B) while the
+    int8 bytes stream at XLA bandwidth instead of the Pallas DMA ceiling.
+    Scales fold outside the contractions: K scales multiply the score
+    matrix elementwise; V scales fold into the probability rows, which are
+    then requantized per (batch, head) for the int8 PV dot.
+    """
+    b, _, h, d = q.shape
+    hkv, s_len = ks.shape[2], ks.shape[3]
+    assert h % hkv == 0 and k.shape[-1] == hkv * d
+    group = h // hkv
+    f = hkv * d
+    if scale is None:
+        scale = d ** -0.5
+
+    qb, qscale = build_qblock(q, hkv)       # (B, H, F) int8, (B, H) f32
+
+    k_li = jax.lax.dynamic_index_in_dim(k, layer, 0, keepdims=False)
+    v_li = jax.lax.dynamic_index_in_dim(v, layer, 0, keepdims=False)
+    ks_li = jax.lax.dynamic_index_in_dim(ks, layer, 0, keepdims=False)
+    vs_li = jax.lax.dynamic_index_in_dim(vs, layer, 0, keepdims=False)
+    if group > 1:
+        ks_li = jnp.repeat(ks_li, group, axis=1)
+        vs_li = jnp.repeat(vs_li, group, axis=1)
+
+    s32 = jnp.einsum(
+        "bhf,bsf->bhs", qb, k_li, preferred_element_type=jnp.int32,
+    )
+    s = s32.astype(jnp.float32) * ks_li * qscale[..., None] * scale
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, 1, s_len), 2)
+    ok = col < lengths.astype(jnp.int32)[:, None, None]
+    s = jnp.where(ok, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)          # (B, H, S)
+
+    pv = p * vs_li
+    pmax = jnp.max(jnp.abs(pv), axis=-1, keepdims=True)
+    pscale = jnp.where(pmax == 0.0, 1.0, pmax / 127.0)
+    p8 = jnp.round(pv / pscale).astype(jnp.int8)
+    o_full = jnp.einsum(
+        "bhs,bsf->bhf", p8, v_li, preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)                   # (B, H, F) — off-diag garbage
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, f), 0)
+    colf = jax.lax.broadcasted_iota(jnp.int32, (h, f), 1)
+    o_masked = jnp.where(
+        ((colf // d) == (row // group))[None], o_full, 0.0
+    )
+    sel = jnp.asarray(_selector(hkv, d))    # (F, D)
+    o = jnp.einsum("bhf,fd->bhd", o_masked, sel) * pscale
+    return o.reshape(b, 1, h, d).astype(q.dtype)
+
+
 def quantize_kv_flat(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Per-(token, head) symmetric int8 over the head dim, flat layout.
 

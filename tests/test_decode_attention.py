@@ -9,7 +9,8 @@ from aki_tpu.models.aki import init_aki
 from aki_tpu.models.common import F32
 from aki_tpu.models.configs import aki_tiny
 from aki_tpu.ops.decode_attention import (
-    build_qblock, decode_attention_flat, quantize_kv_flat,
+    build_qblock, decode_attention_flat, decode_attention_flat_xla,
+    quantize_kv_flat,
 )
 
 CFG = aki_tiny()
@@ -103,6 +104,47 @@ def test_kernel_layer_select_and_block_skip():
                                   lengths, jnp.asarray(0, jnp.int32),
                                   block_kv=128, interpret=True)
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_xla_variant_matches_dense_oracle():
+    """The XLA-native int8 decode (production default) matches the same
+    dequantized-cache oracle as the Pallas kernel, GQA included."""
+    rng = np.random.RandomState(4)
+    for b, h, hkv, s, d in ((2, 4, 2, 40, 16), (2, 4, 4, 40, 16)):
+        q = rng.randn(b, 1, h, d).astype(np.float32)
+        kf, ks, vf, vs = _flat_cache(rng, b, s, hkv, d)
+        lengths = np.array([25, 37], np.int32)
+        kv_valid = (np.arange(s)[None] < lengths[:, None]).astype(np.int32)
+
+        got = decode_attention_flat_xla(
+            jnp.asarray(q), kf[None], ks[None], vf[None], vs[None],
+            jnp.asarray(lengths), jnp.zeros((), jnp.int32),
+        )
+        want = _oracle(q, np.asarray(kf), np.asarray(ks), np.asarray(vf),
+                       np.asarray(vs), kv_valid, d)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=0.03,
+                                   atol=0.03, err_msg=f"hkv={hkv}")
+
+
+def test_xla_variant_layer_select():
+    rng = np.random.RandomState(5)
+    b, h, hkv, s, d, L = 1, 2, 2, 64, 16, 3
+    q = jnp.asarray(rng.randn(b, 1, h, d).astype(np.float32))
+    layers = [_flat_cache(rng, b, s, hkv, d) for _ in range(L)]
+    kf = jnp.stack([x[0] for x in layers])
+    ks = jnp.stack([x[1] for x in layers])
+    vf = jnp.stack([x[2] for x in layers])
+    vs = jnp.stack([x[3] for x in layers])
+    lengths = jnp.asarray([50], jnp.int32)
+    valid = (np.arange(s)[None] < 50).astype(np.int32)
+    for li in range(L):
+        got = decode_attention_flat_xla(
+            q, kf, ks, vf, vs, lengths, jnp.asarray(li, jnp.int32),
+        )
+        want = _oracle(q, np.asarray(kf[li]), np.asarray(ks[li]),
+                       np.asarray(vf[li]), np.asarray(vs[li]), valid, d)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=0.03,
+                                   atol=0.03, err_msg=f"layer {li}")
 
 
 def test_build_qblock_is_block_diagonal():
