@@ -127,6 +127,9 @@ def aki_forward(
     order: str = "image_first",
     vision_tokens: jax.Array | None = None,
     tp_mesh=None,
+    sp_mesh=None,
+    pp_mesh=None,
+    pp_microbatches: int | None = None,
 ) -> AKIOutput:
     """Training/eval forward.
 
@@ -156,11 +159,22 @@ def aki_forward(
             cfg.media_token_id, cfg.assistant_token_id, labels=labels,
             order=order,
         )
-    hidden, _ = phi3_forward(
-        params["phi3"], cfg.phi3, sp.embeds, sp.positions,
-        spec=sp.spec, kv_valid=sp.attn_valid,
-        policy=policy, remat=remat, use_flash=use_flash, tp_mesh=tp_mesh,
-    )
+    if pp_mesh is not None:
+        from ..parallel.pipeline import phi3_forward_pp
+
+        hidden = phi3_forward_pp(
+            params["phi3"], cfg.phi3, sp.embeds, sp.positions,
+            spec=sp.spec, kv_valid=sp.attn_valid, mesh=pp_mesh,
+            num_microbatches=pp_microbatches, policy=policy, remat=remat,
+            use_flash=use_flash,
+        )
+    else:
+        hidden, _ = phi3_forward(
+            params["phi3"], cfg.phi3, sp.embeds, sp.positions,
+            spec=sp.spec, kv_valid=sp.attn_valid,
+            policy=policy, remat=remat, use_flash=use_flash, tp_mesh=tp_mesh,
+            sp_mesh=sp_mesh,
+        )
     logits = lm_logits(params, cfg, hidden, policy)
     loss = next_token_loss(logits, sp.labels) if labels is not None else None
     return AKIOutput(logits=logits, loss=loss, spliced=sp)

@@ -170,6 +170,7 @@ def _attention_layer(
     use_flash: bool,
     eps: float,
     tp_mesh=None,
+    sp_mesh=None,
 ):
     b, t, d = x.shape
     nh, nkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -259,7 +260,16 @@ def _attention_layer(
         k_att, v_att = k, v
 
     if attn is None:
-        if use_flash and tp_mesh is not None:
+        if sp_mesh is not None:
+            # sequence-parallel training: q/k/v sharded along T, K/V
+            # all-gathered over the "seq" axis inside the shard_map
+            from ..ops.flash_mma import flash_mma_attention_sp
+
+            attn = flash_mma_attention_sp(
+                q, k_att, v_att, mesh=sp_mesh, spec=spec,
+                kv_valid=kv_valid_att, q_offset=q_offset,
+            )
+        elif use_flash and tp_mesh is not None:
             # tensor-parallel serving: shard the kernel over heads with
             # shard_map (a bare pallas_call under pjit would replicate)
             from ..ops.flash_mma import flash_mma_attention_tp
@@ -312,6 +322,7 @@ def phi3_forward(
     remat: bool = False,
     use_flash: bool | None = None,
     tp_mesh=None,
+    sp_mesh=None,
 ) -> tuple[jax.Array, KVCache | None]:
     """Run the decoder stack over ``inputs_embeds``.
 
@@ -333,6 +344,16 @@ def phi3_forward(
     if use_flash is None:
         use_flash = jax.default_backend() == "tpu"
     x = inputs_embeds.astype(policy.compute_dtype)
+    if sp_mesh is not None:
+        # sequence parallelism: decoder activations shard along T. GSPMD
+        # shards every per-token op (norms, matmuls, rope) from this one
+        # constraint; only attention needs the explicit shard_map.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch = tuple(a for a in ("data", "fsdp") if a in sp_mesh.shape)
+        x = jax.lax.with_sharding_constraint(
+            x, NamedSharding(sp_mesh, P(batch or None, "seq", None))
+        )
     cos, sin = rope_cos_sin(cfg.rope, positions)
     eps = cfg.rms_norm_eps
 
@@ -383,7 +404,7 @@ def phi3_forward(
         def body(x, lp):
             y, _ = _attention_layer(
                 x, lp, cos, sin, cfg, spec, kv_valid, q_offset,
-                None, use_flash, eps, tp_mesh,
+                None, use_flash, eps, tp_mesh, sp_mesh,
             )
             return y, None
 

@@ -392,6 +392,78 @@ def _flash_bwd(causal, scale, block_q, block_kv, block_h, interpret, res, g):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+def _shard_map():
+    """shard_map with replication checking off, across jax versions."""
+    import functools as _ft
+
+    try:
+        from jax import shard_map as _sm  # modern: check_vma kwarg
+
+        return _ft.partial(_sm, check_vma=False)
+    except ImportError:  # older jax: check_rep kwarg
+        from jax.experimental.shard_map import shard_map as _sm
+
+        return _ft.partial(_sm, check_rep=False)
+
+
+def flash_mma_attention_sp(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mesh,
+    axis: str = "seq",
+    spec: MMASpec | None = None,
+    kv_valid: jax.Array | None = None,
+    q_offset: jax.Array | int = 0,
+    **kw,
+) -> jax.Array:
+    """Sequence-parallel flash MMA attention: q/k/v shard along T over
+    ``axis``; K/V are all-gathered inside the shard_map (one collective per
+    layer) and each device runs the kernel on its local query rows with the
+    absolute ``q_offset`` of its shard — the kernel's position arithmetic
+    (causal frontier + MMA rectangles) is already offset-aware, so sequence
+    parallelism composes with the MMA mask for free.
+
+    The batch dimension keeps its (data, fsdp) sharding and heads keep
+    their ``tensor`` sharding when those axes exist in ``mesh``, so SP
+    composes with dp/fsdp/tp in one shard_map. Backward works through the
+    ``custom_vjp``: the all-gather transposes to a reduce-scatter of dK/dV.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = _shard_map()
+    names = set(mesh.shape)
+    batch = tuple(a for a in ("data", "fsdp") if a in names) or None
+    heads = "tensor" if "tensor" in names else None
+
+    b, t, _, _ = q.shape
+    img_start, txt_start, txt_end, _ = _normalize_spec(spec, b)
+    if kv_valid is None:
+        kv_valid = jnp.ones((b, k.shape[1]), jnp.int32)
+    kv_valid = kv_valid.astype(jnp.int32)
+    q_offset = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (b,))
+
+    sharded = P(batch, axis, heads, None)
+    rep = P(batch)
+
+    def local(q_, k_, v_, i0, t0, t1, kvv, qo):
+        t_local = q_.shape[1]
+        k_full = jax.lax.all_gather(k_, axis, axis=1, tiled=True)
+        v_full = jax.lax.all_gather(v_, axis, axis=1, tiled=True)
+        shard = jax.lax.axis_index(axis) * t_local
+        return flash_mma_attention(
+            q_, k_full, v_full,
+            spec=MMASpec(img_start=i0, txt_start=t0, txt_end=t1),
+            kv_valid=kvv, q_offset=qo + shard, **kw,
+        )
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(sharded, sharded, sharded, rep, rep, rep, rep, rep),
+        out_specs=sharded,
+    )(q, k, v, img_start, txt_start, txt_end, kv_valid, q_offset)
+
+
 def flash_mma_attention_tp(
     q: jax.Array,
     k: jax.Array,
@@ -412,16 +484,7 @@ def flash_mma_attention_tp(
     under pjit would instead be replicated around (all-gather + redundant
     compute) because XLA cannot partition an opaque custom call.
     """
-    import functools as _ft
-
-    try:
-        from jax import shard_map as _sm  # modern: check_vma kwarg
-
-        shard_map = _ft.partial(_sm, check_vma=False)
-    except ImportError:  # older jax: check_rep kwarg
-        from jax.experimental.shard_map import shard_map as _sm
-
-        shard_map = _ft.partial(_sm, check_rep=False)
+    shard_map = _shard_map()
     from jax.sharding import PartitionSpec as P
 
     b = q.shape[0]

@@ -12,7 +12,16 @@ Axes (SURVEY §2.6 mapping):
                (FSDP FULL_SHARD ≙ fsdp = all devices, data = 1);
 - ``tensor`` — megatron-style tensor parallelism of the decoder (absent in
                the reference but first-class here so the Phi-3 decoder can
-               scale within a slice).
+               scale within a slice);
+- ``seq``    — sequence parallelism: decoder activations shard along T,
+               attention all-gathers K/V over the axis (long-context hook —
+               absent in the reference per SURVEY §5, first-class here);
+- ``pipe``   — pipeline parallelism: decoder layers split into stages,
+               microbatch activations flow stage-to-stage over ppermute
+               (``parallel/pipeline.py``);
+- ``expert`` — expert parallelism for MoE layers (``models/moe.py``):
+               expert weights and the dispatched (E, capacity, D) token
+               buffers shard over the axis; GSPMD inserts the all-to-alls.
 
 HYBRID_SHARD (shard intra-node, replicate inter-node,
 ``distributed.py:195-196``) is ``data`` = number of slices (DCN) x ``fsdp``
@@ -32,7 +41,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 DATA_AXIS = "data"
 FSDP_AXIS = "fsdp"
 TENSOR_AXIS = "tensor"
-AXES = (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS)
+SEQ_AXIS = "seq"
+PIPE_AXIS = "pipe"
+EXPERT_AXIS = "expert"
+AXES = (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS, SEQ_AXIS, PIPE_AXIS, EXPERT_AXIS)
 
 BATCH_AXES = (DATA_AXIS, FSDP_AXIS)  # activation batch dim spans both
 
@@ -44,11 +56,14 @@ class MeshConfig:
     data: int = 1
     fsdp: int = -1
     tensor: int = 1
+    seq: int = 1
+    pipe: int = 1
+    expert: int = 1
     data_on_dcn: bool = False   # put the data axis on DCN (hybrid shard)
 
 
-def resolve_axis_sizes(cfg: MeshConfig, n_devices: int) -> tuple[int, int, int]:
-    sizes = [cfg.data, cfg.fsdp, cfg.tensor]
+def resolve_axis_sizes(cfg: MeshConfig, n_devices: int) -> tuple[int, ...]:
+    sizes = [cfg.data, cfg.fsdp, cfg.tensor, cfg.seq, cfg.pipe, cfg.expert]
     n_auto = sum(1 for s in sizes if s == -1)
     if n_auto > 1:
         raise ValueError("at most one mesh axis may be -1")
@@ -69,10 +84,10 @@ def create_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     # first prod(sizes) devices (debug runs on a big host)
     devices = devices[: int(np.prod(sizes))]
     if cfg.data_on_dcn and getattr(devices[0], "slice_index", None) is not None:
-        # data axis outermost => maps across slices (DCN); fsdp/tensor ride ICI
+        # data axis outermost => maps across slices (DCN); the rest ride ICI
         dev_array = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(1, sizes[1], sizes[2]),
-            dcn_mesh_shape=(sizes[0], 1, 1),
+            mesh_shape=(1,) + tuple(sizes[1:]),
+            dcn_mesh_shape=(sizes[0],) + (1,) * (len(sizes) - 1),
             devices=devices,
         )
     else:

@@ -59,12 +59,14 @@ class Batch:
 
 def make_loss_fn(cfg: AKIConfig, policy: Policy, remat: bool,
                  use_flash: bool | None, order: str = "image_first",
-                 host_offload: bool = False):
+                 host_offload: bool = False, sp_mesh=None, pp_mesh=None,
+                 pp_microbatches=None):
     def loss_fn(params, batch: Batch):
         out = aki_forward(
             params, cfg, batch.input_ids, batch.images, batch.attn_valid,
             labels=batch.labels, policy=policy, remat=remat,
-            use_flash=use_flash, order=order,
+            use_flash=use_flash, order=order, sp_mesh=sp_mesh,
+            pp_mesh=pp_mesh, pp_microbatches=pp_microbatches,
         )
         loss = out.loss
         if batch.loss_weight is not None:
@@ -93,10 +95,14 @@ def make_train_step(
     order: str = "image_first",
     loss_scale: float = 1.0,
     host_offload: bool = False,
+    sp_mesh=None,
+    pp_mesh=None,
+    pp_microbatches=None,
 ) -> Callable[[TrainState, Batch], tuple[TrainState, dict]]:
     """Build the (un-jitted) train step; jit with donate_argnums=(0,)."""
     loss_fn = make_loss_fn(cfg, policy, remat, use_flash, order,
-                           host_offload=host_offload)
+                           host_offload=host_offload, sp_mesh=sp_mesh,
+                           pp_mesh=pp_mesh, pp_microbatches=pp_microbatches)
 
     def scaled_loss(params, micro):
         return loss_fn(params, micro) * loss_scale

@@ -50,4 +50,7 @@ def test_hybrid_mesh_falls_back_on_cpu():
     from aki_tpu.parallel.mesh import MeshConfig, create_mesh
 
     m = create_mesh(MeshConfig(data=2, fsdp=4, tensor=1, data_on_dcn=True))
-    assert dict(m.shape) == {"data": 2, "fsdp": 4, "tensor": 1}
+    shape = dict(m.shape)
+    assert shape["data"] == 2 and shape["fsdp"] == 4 and shape["tensor"] == 1
+    # new axes (seq/pipe/expert) default to 1
+    assert all(shape[a] == 1 for a in ("seq", "pipe", "expert"))

@@ -1,0 +1,99 @@
+"""MoE layer + expert parallelism (framework capability; SURVEY §2.6 notes
+the reference is dense — EP ships as the remaining first-class mode).
+
+Pins: (1) dense one-hot dispatch == a per-token python oracle when nothing
+overflows; (2) capacity drops overflow tokens (output falls back to 0 for
+them); (3) EP-sharded forward/backward == unsharded.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aki_tpu.models.moe import MoEConfig, init_moe, moe_mlp
+from aki_tpu.parallel.mesh import MeshConfig, create_mesh
+
+D = 16
+
+
+def _oracle(params, x, cfg):
+    """Per-token loop, no capacity limit (set factor high in the test)."""
+    b, t, d = x.shape
+    xf = np.asarray(x, np.float64).reshape(-1, d)
+    rw = np.asarray(params["router"]["w"], np.float64)
+    probs = jax.nn.softmax(jnp.asarray(xf @ rw), axis=-1)
+    probs = np.asarray(probs)
+    out = np.zeros_like(xf)
+    for n in range(xf.shape[0]):
+        idx = np.argsort(-probs[n])[: cfg.top_k]
+        gates = probs[n][idx] / probs[n][idx].sum()
+        for g, e in zip(gates, idx):
+            wg = np.asarray(params["w_gate"][e], np.float64)
+            wu = np.asarray(params["w_up"][e], np.float64)
+            wd = np.asarray(params["w_down"][e], np.float64)
+            gate = xf[n] @ wg
+            up = xf[n] @ wu
+            h = gate / (1 + np.exp(-gate)) * up
+            out[n] += g * (h @ wd)
+    return out.reshape(b, t, d)
+
+
+def test_moe_matches_per_token_oracle():
+    cfg = MoEConfig(num_experts=4, top_k=2, intermediate_size=32,
+                    capacity_factor=4.0)   # no overflow
+    params = init_moe(jax.random.PRNGKey(0), D, cfg, 0.2)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 6, D), jnp.float32)
+    out, aux = moe_mlp(params, x, cfg)
+    want = _oracle(params, x, cfg)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-4, atol=2e-4)
+    assert np.isfinite(float(aux)) and float(aux) > 0
+
+
+def test_moe_capacity_drops_overflow():
+    """With capacity 1 token/expert, most tokens overflow; the layer must
+    still be finite and dropped tokens contribute zero output."""
+    cfg = MoEConfig(num_experts=2, top_k=1, intermediate_size=8,
+                    capacity_factor=0.01)
+    params = init_moe(jax.random.PRNGKey(1), D, cfg, 0.2)
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 8, D), jnp.float32)
+    out, aux = moe_mlp(params, x, cfg)
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    # capacity = ceil(8 * 1 * 0.01 / 2) = 1 slot per expert -> at most 2
+    # tokens produce nonzero output
+    nonzero_rows = (np.abs(out[0]).max(-1) > 1e-9).sum()
+    assert nonzero_rows <= 2, nonzero_rows
+
+
+def test_moe_expert_parallel_matches_unsharded():
+    cfg = MoEConfig(num_experts=8, top_k=2, intermediate_size=32,
+                    capacity_factor=2.0)
+    params = init_moe(jax.random.PRNGKey(2), D, cfg, 0.2)
+    x = jnp.asarray(np.random.RandomState(2).randn(4, 8, D), jnp.float32)
+
+    def loss(p, x, mesh=None):
+        out, aux = moe_mlp(p, x, cfg, mesh=mesh)
+        return jnp.sum(jnp.sin(out)) + 0.01 * aux
+
+    ref_l, ref_g = jax.value_and_grad(loss)(params, x)
+
+    mesh = create_mesh(MeshConfig(data=1, fsdp=1, tensor=1, expert=8))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def shard(path, leaf):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        if "router" in name:
+            return jax.device_put(leaf, NamedSharding(mesh, P()))
+        return jax.device_put(leaf, NamedSharding(mesh, P("expert")))
+
+    p_sh = jax.tree_util.tree_map_with_path(shard, params)
+    with mesh:
+        l, g = jax.jit(jax.value_and_grad(
+            lambda p, x: loss(p, x, mesh=mesh)))(p_sh, x)
+    np.testing.assert_allclose(float(l), float(ref_l), rtol=1e-5)
+    for k in ("w_gate", "w_down"):
+        np.testing.assert_allclose(
+            np.asarray(g[k]), np.asarray(ref_g[k]), rtol=1e-4, atol=1e-6,
+            err_msg=k,
+        )

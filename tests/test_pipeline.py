@@ -1,0 +1,81 @@
+"""Pipeline parallelism: the staged decoder matches the plain one.
+
+GPipe-over-shard_map (``parallel/pipeline.py``): layers sharded by stage
+along the ``pipe`` axis, microbatch payloads flowing via ppermute. The
+reference has no PP (SURVEY §2.6) — these tests pin the staged forward,
+loss, and one-optimizer-step update to the unsharded baseline.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from aki_tpu.models.aki import init_aki
+from aki_tpu.models.common import F32
+from aki_tpu.models.configs import aki_tiny
+from aki_tpu.parallel.mesh import MeshConfig, batch_sharding, create_mesh
+from aki_tpu.parallel.pipeline import pp_param_rules
+from aki_tpu.parallel.sharding import shard_params
+from aki_tpu.train.step import Batch, TrainState, make_train_step
+
+CFG = aki_tiny()
+
+
+def make_batch(rng, b=8, t=16):
+    ids = rng.randint(5, CFG.initial_tokenizer_len - 1, size=(b, t))
+    ids[:, 1] = CFG.media_token_id
+    ids[:, 8] = CFG.assistant_token_id
+    valid = np.ones((b, t), np.int32)
+    labels = ids.copy()
+    labels[:, :9] = -100
+    s = CFG.siglip.image_size
+    imgs = rng.randn(b, s, s, 3).astype(np.float32)
+    return Batch(
+        input_ids=jnp.array(ids), images=jnp.array(imgs),
+        attn_valid=jnp.array(valid), labels=jnp.array(labels),
+    )
+
+
+PP_MESHES = [
+    # (name, mesh config, microbatches)
+    ("pp2", MeshConfig(data=1, fsdp=1, tensor=1, pipe=2), 2),
+    ("pp2_m4", MeshConfig(data=1, fsdp=1, tensor=1, pipe=2), 4),
+    ("dp2_pp2", MeshConfig(data=2, fsdp=1, tensor=1, pipe=2), 2),
+]
+
+
+@pytest.mark.parametrize("name,mesh_cfg,m", PP_MESHES)
+def test_pp_step_matches_unsharded(name, mesh_cfg, m):
+    params0 = init_aki(jax.random.PRNGKey(0), CFG)
+    rng = np.random.RandomState(0)
+    batch0 = make_batch(rng)
+    opt = optax.sgd(1e-2)
+
+    def baseline():
+        state = TrainState.create(jax.tree.map(jnp.copy, params0), opt)
+        step = jax.jit(make_train_step(CFG, opt, policy=F32, use_flash=False))
+        state, metrics = step(state, batch0)
+        return (float(metrics["loss"]),
+                np.asarray(state.params["phi3"]["layers"]["wq"]))
+
+    def pp_run():
+        mesh = create_mesh(mesh_cfg)
+        params = shard_params(
+            jax.tree.map(jnp.copy, params0), mesh, rules=pp_param_rules()
+        )
+        state = TrainState.create(params, opt)
+        batch = jax.device_put(batch0, batch_sharding(mesh))
+        step = jax.jit(make_train_step(
+            CFG, opt, policy=F32, use_flash=False,
+            pp_mesh=mesh, pp_microbatches=m,
+        ))
+        state, metrics = step(state, batch)
+        return (float(metrics["loss"]),
+                np.asarray(state.params["phi3"]["layers"]["wq"]))
+
+    ref_loss, ref_wq = baseline()
+    loss, wq = pp_run()
+    np.testing.assert_allclose(loss, ref_loss, rtol=2e-4, err_msg=name)
+    np.testing.assert_allclose(wq, ref_wq, rtol=1e-3, atol=1e-5, err_msg=name)

@@ -48,7 +48,9 @@ def make_batch(rng, b=8, t=16, accum=None):
 def test_mesh_shapes():
     assert len(jax.devices()) == 8
     mesh = create_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
-    assert dict(mesh.shape) == {"data": 2, "fsdp": 2, "tensor": 2}
+    shape = dict(mesh.shape)
+    assert (shape["data"], shape["fsdp"], shape["tensor"]) == (2, 2, 2)
+    assert all(shape[a] == 1 for a in ("seq", "pipe", "expert"))
     mesh = create_mesh(MeshConfig(data=1, fsdp=-1, tensor=1))
     assert mesh.shape["fsdp"] == 8
 
