@@ -141,6 +141,38 @@ class ServingEngine:
         return state, toks  # toks: (decode_chunk, num_slots)
 
     # -- host API ---------------------------------------------------------------
+    def warmup(self):
+        """Compile every device function ahead of serving: the decode chunk
+        and one prefill+insert per power-of-two admission size. Through a
+        tunneled runtime each compile is tens of seconds — production
+        engines pay this at startup, never mid-traffic."""
+        t = self.prompt_bucket
+        s = self.cfg.siglip.image_size
+        b = 1
+        while True:
+            ids = np.full((b, t), self.cfg.pad_token_id, np.int32)
+            valid = np.zeros((b, t), np.int32)
+            valid[:, 0] = 1
+            imgs = np.zeros((b, s, s, 3), np.float32)
+            slot_idx = np.full((b,), self.num_slots, np.int32)  # all drop
+            new = self._prefill_batch(
+                self.params, jnp.array(ids), jnp.array(imgs), jnp.array(valid)
+            )
+            self.state = self._insert(self.state, new, jnp.array(slot_idx))
+            del new
+            # serialize: with async dispatch every warmup size's prefill
+            # state would be live at once (HBM OOM at 4B geometry)
+            np.asarray(self.state.lengths)
+            if b >= self.admit_batch:
+                break
+            b = min(b * 2, self.admit_batch)
+        self._rng, sub = jax.random.split(self._rng)
+        self.state, toks = self._decode(
+            self.params, self.state,
+            jnp.zeros((self.num_slots,), bool), sub,
+        )
+        np.asarray(toks)
+
     def submit(self, input_ids: list[int], image: np.ndarray,
                max_new_tokens: int = 128, eos_id: int | None = None) -> Request:
         req = Request(input_ids=list(input_ids), image=image,
@@ -150,9 +182,19 @@ class ServingEngine:
 
     def _admit_many(self, slots: list[int], reqs: list[Request]):
         """One batched prefill for up to admit_batch requests, one scatter
-        into their slots (fixed shapes: the batch pads with dummy rows
-        whose slot index drops in the scatter)."""
-        b, t = self.admit_batch, self.prompt_bucket
+        into their slots.
+
+        The prefill batch is RIGHT-SIZED to the smallest power of two
+        covering the newcomers (jit retraces once per size): padding every
+        admission to ``admit_batch`` makes each 2-slot refill pay a full
+        ``admit_batch``-row prefill+vision — measured 7.6 -> 6.0 img/s
+        going from admit 4 to 8 under mixed arrivals precisely because the
+        padded rows burn real compute on zeros."""
+        b = 1
+        while b < len(reqs):
+            b *= 2
+        b = min(b, self.admit_batch)
+        t = self.prompt_bucket
         s = self.cfg.siglip.image_size
         ids = np.full((b, t), self.cfg.pad_token_id, np.int32)
         valid = np.zeros((b, t), np.int32)

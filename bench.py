@@ -127,6 +127,12 @@ def main():
     if os.environ.get("AKI_BENCH_SERVER", "1") == "1":
         from aki_tpu.infer.server import ServingEngine
 
+        # free the offline phase's executables + cached output buffers —
+        # the engine's slot cache + right-sized admission warmup need the
+        # HBM headroom at 4B geometry
+        run = pf1 = None
+        jax.clear_caches()
+
         eng = ServingEngine(
             params, cfg, num_slots=BATCH, max_len=MAX_LEN,
             prompt_bucket=TEXT_LEN, admit_batch=4, policy=policy,
@@ -142,9 +148,8 @@ def main():
             reqs.append((rid.tolist(),
                          np.asarray(imgs[i % BATCH], np.float32),
                          int(rng2.randint(16, 48))))
-        # warm up compiles (admit + decode shapes) with a small drain
-        eng.submit(*reqs[0][:2], max_new_tokens=2)
-        eng.run_until_drained()
+        # compile all admission sizes + the decode chunk up front
+        eng.warmup()
         t0 = time.perf_counter()
         handles = [eng.submit(r, im, max_new_tokens=m)
                    for r, im, m in reqs]
