@@ -14,6 +14,19 @@ from ..ops.rope import RopeConfig
 
 
 @dataclasses.dataclass(frozen=True)
+class MoEConfig:
+    """Mixture-of-Experts MLP option for the decoder (``models/moe.py``).
+    The reference family is dense; this is the framework's MoE mode."""
+
+    num_experts: int = 8
+    top_k: int = 2
+    intermediate_size: int = 128
+    # tokens each expert can take, as a multiple of the uniform share
+    # (capacity = ceil(T_tokens * top_k / E * factor)); overflow is dropped
+    capacity_factor: float = 1.25
+
+
+@dataclasses.dataclass(frozen=True)
 class Phi3Config:
     """Phi-3-family decoder (HF Phi3ForCausalLM geometry)."""
 
@@ -31,6 +44,9 @@ class Phi3Config:
     rope_short_factor: tuple[float, ...] | None = None
     rope_long_factor: tuple[float, ...] | None = None
     initializer_range: float = 0.02
+    # None = dense SiLU-gated MLP (the reference geometry); a MoEConfig
+    # replaces the MLP with a routed expert mixture (framework capability)
+    moe: MoEConfig | None = None
 
     @property
     def rope(self) -> RopeConfig:

@@ -170,7 +170,7 @@ def flamingo_decoder_forward(
         )
 
         def layer_body(x, lp):
-            y, _ = _attention_layer(
+            y, _, _ = _attention_layer(
                 x, lp, cos, sin, pcfg, None, kv_valid, 0, None, use_flash, eps,
             )
             return y, None

@@ -24,22 +24,13 @@ framework covers every parallelism mode on TPU:
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 
 from .common import Params
+from .configs import MoEConfig
 
-
-@dataclasses.dataclass(frozen=True)
-class MoEConfig:
-    num_experts: int = 8
-    top_k: int = 2
-    intermediate_size: int = 128
-    # tokens each expert can take, as a multiple of the uniform share
-    # (capacity = ceil(T_tokens * top_k / E * factor)); overflow is dropped
-    capacity_factor: float = 1.25
+__all__ = ["MoEConfig", "init_moe", "moe_mlp", "moe_param_rules"]
 
 
 def init_moe(key, d: int, cfg: MoEConfig, init_range: float,

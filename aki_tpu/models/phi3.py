@@ -100,6 +100,27 @@ def init_phi3(key, cfg: Phi3Config, dtype=jnp.float32) -> Params:
     def w(k, *shape):
         return jax.random.normal(k, shape, dtype) * s
 
+    if cfg.moe is not None:
+        # routed expert MLP (framework MoE mode; reference is dense) —
+        # expert weights stacked (L, E, ...) so the layer scan + the
+        # "expert" sharding axis both apply
+        e, mi = cfg.moe.num_experts, cfg.moe.intermediate_size
+        mks = jax.random.split(ks[5], 4)
+        mlp = {
+            "moe": {
+                "router": {"w": w(mks[0], L, d, e)},
+                "w_gate": w(mks[1], L, e, d, mi),
+                "w_up": w(mks[2], L, e, d, mi),
+                "w_down": w(mks[3], L, e, mi, d),
+            }
+        }
+    else:
+        mlp = {
+            "w_gate": w(ks[5], L, d, inter),
+            "w_up": w(ks[6], L, d, inter),
+            "w_down": w(ks[7], L, inter, d),
+        }
+
     return {
         "embed": {"table": w(ks[0], cfg.vocab_size, d)},
         "layers": {
@@ -109,9 +130,7 @@ def init_phi3(key, cfg: Phi3Config, dtype=jnp.float32) -> Params:
             "wv": w(ks[3], L, d, nkv * dh),
             "wo": w(ks[4], L, nh * dh, d),
             "ln2": {"scale": jnp.ones((L, d), dtype)},
-            "w_gate": w(ks[5], L, d, inter),
-            "w_up": w(ks[6], L, d, inter),
-            "w_down": w(ks[7], L, inter, d),
+            **mlp,
         },
         "final_norm": {"scale": jnp.ones((d,), dtype)},
     }
@@ -171,6 +190,7 @@ def _attention_layer(
     eps: float,
     tp_mesh=None,
     sp_mesh=None,
+    ep_mesh=None,
 ):
     b, t, d = x.shape
     nh, nkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -294,18 +314,27 @@ def _attention_layer(
     x = x + out
 
     h2 = rmsnorm(lp["ln2"], x, eps)
-    if "w_gateup" in lp:
+    aux = jnp.zeros((), jnp.float32)
+    if "moe" in lp:
+        from .moe import moe_mlp
+
+        mlp, aux = moe_mlp(lp["moe"], h2, cfg.moe, mesh=ep_mesh)
+    elif "w_gateup" in lp:
         gu = mm(h2, lp["w_gateup"])
         inter = gu.shape[-1] // 2
         gate, up = gu[..., :inter], gu[..., inter:]
+        mlp = mm(
+            jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
+            lp["w_down"],
+        )
     else:
         gate = mm(h2, lp["w_gate"])
         up = mm(h2, lp["w_up"])
-    mlp = mm(
-        jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
-        lp["w_down"],
-    )
-    return x + mlp, new_cache
+        mlp = mm(
+            jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
+            lp["w_down"],
+        )
+    return x + mlp, new_cache, aux
 
 
 def phi3_forward(
@@ -323,6 +352,8 @@ def phi3_forward(
     use_flash: bool | None = None,
     tp_mesh=None,
     sp_mesh=None,
+    ep_mesh=None,
+    with_aux: bool = False,
 ) -> tuple[jax.Array, KVCache | None]:
     """Run the decoder stack over ``inputs_embeds``.
 
@@ -343,6 +374,7 @@ def phi3_forward(
     """
     if use_flash is None:
         use_flash = jax.default_backend() == "tpu"
+    aux = jnp.zeros((), jnp.float32)   # MoE load-balance loss (with_aux)
     x = inputs_embeds.astype(policy.compute_dtype)
     if sp_mesh is not None:
         # sequence parallelism: decoder activations shard along T. GSPMD
@@ -373,7 +405,7 @@ def phi3_forward(
             def body_q8(carry, scanned):
                 x, k8, ks, v8, vs = carry
                 lp, li = scanned
-                y, new_kv = _attention_layer(
+                y, new_kv, _ = _attention_layer(
                     x, lp, cos, sin, cfg, spec, kv_valid, q_offset,
                     ("q8", k8, ks, v8, vs, li, wpos), use_flash, eps,
                     tp_mesh,
@@ -389,7 +421,7 @@ def phi3_forward(
             def body_cached(carry, scanned):
                 x, ck, cv = carry
                 lp, li = scanned
-                y, new_kv = _attention_layer(
+                y, new_kv, _ = _attention_layer(
                     x, lp, cos, sin, cfg, spec, kv_valid, q_offset,
                     ("bf16", ck, cv, li, wpos), use_flash, eps, tp_mesh,
                 )
@@ -401,20 +433,25 @@ def phi3_forward(
             )
             new_cache = KVCache(k=new_k, v=new_v)
     else:
-        def body(x, lp):
-            y, _ = _attention_layer(
+        def body(carry, lp):
+            x, aux_sum = carry
+            y, _, aux = _attention_layer(
                 x, lp, cos, sin, cfg, spec, kv_valid, q_offset,
-                None, use_flash, eps, tp_mesh, sp_mesh,
+                None, use_flash, eps, tp_mesh, sp_mesh, ep_mesh,
             )
-            return y, None
+            return (y, aux_sum + aux), None
 
         if remat:
             body = jax.checkpoint(
                 body,
                 policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
             )
-        x, _ = jax.lax.scan(body, x, layers)
+        (x, aux), _ = jax.lax.scan(
+            body, (x, jnp.zeros((), jnp.float32)), layers
+        )
         new_cache = None
 
     x = rmsnorm(policy.cast(params["final_norm"]), x, eps)
+    if with_aux:
+        return x, new_cache, aux
     return x, new_cache

@@ -111,7 +111,9 @@ def phi3_forward_pp(
             sp = MMASpec(img_start=a0, txt_start=a1, txt_end=a2)
 
             def body(h, lp):
-                y, _ = _attention_layer(
+                # aux (MoE balance loss) is dropped in the pipeline path:
+                # v1 stages dense layers only
+                y, _, _ = _attention_layer(
                     h, lp, cos, sin, cfg, sp, vv, 0, None, use_flash, eps,
                 )
                 return y, None

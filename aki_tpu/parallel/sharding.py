@@ -31,6 +31,10 @@ PARAM_RULES: list[tuple[str, P]] = [
     (r"phi3/layers/wo$", P(None, "tensor", "fsdp")),
     (r"phi3/layers/w_(gate|up)$", P(None, "fsdp", "tensor")),
     (r"phi3/layers/w_down$", P(None, "tensor", "fsdp")),
+    # MoE decoder option: experts shard over the "expert" axis
+    (r"phi3/layers/moe/router/w", P(None)),
+    (r"phi3/layers/moe/w_(gate|up)$", P(None, "expert", "fsdp", "tensor")),
+    (r"phi3/layers/moe/w_down$", P(None, "expert", "tensor", "fsdp")),
     (r"phi3/final_norm", P(None)),
     # --- decoupled vocab ---------------------------------------------------
     (r"extra_embed/table", P(None, "fsdp")),

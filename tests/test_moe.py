@@ -66,6 +66,61 @@ def test_moe_capacity_drops_overflow():
     assert nonzero_rows <= 2, nonzero_rows
 
 
+def test_moe_phi3_decoder_trains():
+    """Phi3Config(moe=...) swaps the MLP for the routed mixture: forward
+    produces finite logits + aux, and a few SGD steps on a copy task
+    decrease the loss (router + experts both receive gradients)."""
+    import optax
+
+    from aki_tpu.models.configs import Phi3Config
+    from aki_tpu.models.phi3 import init_phi3, phi3_forward
+
+    cfg = Phi3Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=2, num_kv_heads=2, head_dim=16,
+        moe=MoEConfig(num_experts=4, top_k=2, intermediate_size=32,
+                      capacity_factor=2.0),
+    )
+    params = init_phi3(jax.random.PRNGKey(0), cfg)
+    assert "moe" in params["layers"] and "w_gate" not in params["layers"]
+
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, 64, size=(4, 12))
+    emb_ids = jnp.asarray(ids)
+    positions = jnp.broadcast_to(jnp.arange(12)[None], (4, 12))
+    labels = jnp.asarray(ids)
+
+    def loss_fn(p):
+        embeds = p["embed"]["table"][emb_ids]
+        hidden, _, aux = phi3_forward(
+            p, cfg, embeds, positions, use_flash=False, with_aux=True,
+        )
+        logits = jnp.einsum("btd,vd->btv", hidden, p["embed"]["table"])
+        logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), -1)
+        nll = -jnp.take_along_axis(
+            logp, labels[:, 1:, None], axis=-1
+        ).mean()
+        return nll + 0.01 * aux, aux
+
+    opt = optax.sgd(0.5)
+    opt_state = opt.init(params)
+    losses = []
+    step = jax.jit(lambda p, s: _sgd_step(p, s, loss_fn, opt))
+    for _ in range(6):
+        params, opt_state, l, aux = step(params, opt_state)
+        losses.append(float(l))
+        assert np.isfinite(float(l)) and np.isfinite(float(aux))
+    assert losses[-1] < losses[0], losses
+
+
+def _sgd_step(p, s, loss_fn, opt):
+    (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+    import optax
+
+    updates, s = opt.update(g, s, p)
+    return optax.apply_updates(p, updates), s, l, aux
+
+
 def test_moe_expert_parallel_matches_unsharded():
     cfg = MoEConfig(num_experts=8, top_k=2, intermediate_size=32,
                     capacity_factor=2.0)

@@ -177,3 +177,61 @@ def test_aki4b_train_step_lowers_on_8dev_mesh():
     assert lowered is not None
     text = lowered.as_text()
     assert "dot" in text  # sanity: a real compute graph came out
+
+
+def _abstract_4b_lowering(mesh, t, **step_kw):
+    """Shared scaffolding: lower the 4B train step abstractly on ``mesh``."""
+    import optax
+
+    from aki_tpu.train.step import Batch, TrainState, make_train_step
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = aki_4b()
+    rules = step_kw.pop("rules", None)
+    param_shapes = jax.eval_shape(
+        lambda k: init_aki(k, cfg), jax.random.PRNGKey(0)
+    )
+    shardings = param_shardings(param_shapes, mesh, rules=rules)
+    opt = optax.adamw(1e-4)
+    state_shapes = jax.eval_shape(
+        lambda p: TrainState.create(p, opt), param_shapes
+    )
+    params_abs = jax.tree.map(
+        lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+        state_shapes.params, shardings,
+    )
+    state_abs = TrainState(
+        params=params_abs, opt_state=state_shapes.opt_state,
+        step=state_shapes.step,
+    )
+    b = 16
+    s = cfg.siglip.image_size
+    bsh = NamedSharding(mesh, P(("data", "fsdp")))
+    batch_abs = Batch(
+        input_ids=jax.ShapeDtypeStruct((b, t), jnp.int32, sharding=bsh),
+        images=jax.ShapeDtypeStruct((b, s, s, 3), jnp.float32, sharding=bsh),
+        attn_valid=jax.ShapeDtypeStruct((b, t), jnp.int32, sharding=bsh),
+        labels=jax.ShapeDtypeStruct((b, t), jnp.int32, sharding=bsh),
+    )
+    step = make_train_step(cfg, opt, remat=True, use_flash=False, **step_kw)
+    lowered = jax.jit(step, donate_argnums=(0,)).lower(state_abs, batch_abs)
+    assert lowered is not None and "dot" in lowered.as_text()
+
+
+def test_aki4b_sp_train_step_lowers_on_8dev_mesh():
+    """4B geometry, sequence-parallel: fsdp4 x seq2. t=513 makes the
+    spliced length 656 divide the seq axis."""
+    mesh = create_mesh(MeshConfig(data=1, fsdp=4, tensor=1, seq=2))
+    _abstract_4b_lowering(mesh, t=513, sp_mesh=mesh)
+
+
+def test_aki4b_pp_train_step_lowers_on_8dev_mesh():
+    """4B geometry, pipeline-parallel: pipe=8 (4 layers/stage), 8
+    microbatches of 2."""
+    from aki_tpu.parallel.pipeline import pp_param_rules
+
+    mesh = create_mesh(MeshConfig(data=1, fsdp=1, tensor=1, pipe=8))
+    _abstract_4b_lowering(
+        mesh, t=512, pp_mesh=mesh, pp_microbatches=8,
+        rules=pp_param_rules(),
+    )
