@@ -38,6 +38,7 @@ class AKIOutput:
     loss: jax.Array | None       # scalar mean CE over non-ignored labels
     spliced: SplicedBatch
     cache: KVCache | None = None
+    aux: jax.Array | None = None  # MoE load-balance loss (Phi3Config.moe)
 
 
 def init_aki(key, cfg: AKIConfig, dtype=jnp.float32) -> Params:
@@ -162,19 +163,25 @@ def aki_forward(
     if pp_mesh is not None:
         from ..parallel.pipeline import phi3_forward_pp
 
+        assert cfg.phi3.moe is None, "pipeline v1 stages dense layers only"
         hidden = phi3_forward_pp(
             params["phi3"], cfg.phi3, sp.embeds, sp.positions,
             spec=sp.spec, kv_valid=sp.attn_valid, mesh=pp_mesh,
             num_microbatches=pp_microbatches, policy=policy, remat=remat,
             use_flash=use_flash,
         )
+        aux = None
     else:
-        hidden, _ = phi3_forward(
+        # MoE decoders surface the Switch aux loss so the trainer can
+        # weight it in — without this the router gets no balance pressure
+        moe = cfg.phi3.moe is not None
+        out = phi3_forward(
             params["phi3"], cfg.phi3, sp.embeds, sp.positions,
             spec=sp.spec, kv_valid=sp.attn_valid,
             policy=policy, remat=remat, use_flash=use_flash, tp_mesh=tp_mesh,
-            sp_mesh=sp_mesh,
+            sp_mesh=sp_mesh, with_aux=moe,
         )
+        hidden, aux = (out[0], out[2]) if moe else (out[0], None)
     logits = lm_logits(params, cfg, hidden, policy)
     loss = next_token_loss(logits, sp.labels) if labels is not None else None
-    return AKIOutput(logits=logits, loss=loss, spliced=sp)
+    return AKIOutput(logits=logits, loss=loss, spliced=sp, aux=aux)

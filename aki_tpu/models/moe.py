@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from .common import Params
 from .configs import MoEConfig
 
-__all__ = ["MoEConfig", "init_moe", "moe_mlp", "moe_param_rules"]
+__all__ = ["MoEConfig", "init_moe", "moe_mlp"]
 
 
 def init_moe(key, d: int, cfg: MoEConfig, init_range: float,
@@ -83,17 +83,17 @@ def moe_mlp(
     in_cap = pos < cap
     keep = in_cap & (top_p > 0)
 
-    # dispatch tensor (N, E, C): 1 where token n goes to slot (e, c)
-    dis = (
+    # (N, k, E, C) slot one-hot, built ONCE: 1 where choice (n, k) lands in
+    # expert slot (e, c); dispatch and combine differ only by the scalar
+    # gate factor per (n, k)
+    ek = (
         jax.nn.one_hot(top_idx, e, dtype=x.dtype)[..., None]
         * jax.nn.one_hot(jnp.where(keep, pos, cap), cap + 1,
                          dtype=x.dtype)[..., :cap][:, :, None, :]
-    ).sum(1)                                                      # (N, E, C)
+    )
+    dis = ek.sum(1)                                               # (N, E, C)
     combine = (
-        (gates.astype(x.dtype) * keep.astype(x.dtype))[..., None, None]
-        * jax.nn.one_hot(top_idx, e, dtype=x.dtype)[..., None]
-        * jax.nn.one_hot(jnp.where(keep, pos, cap), cap + 1,
-                         dtype=x.dtype)[..., :cap][:, :, None, :]
+        (gates.astype(x.dtype) * keep.astype(x.dtype))[..., None, None] * ek
     ).sum(1)                                                      # (N, E, C)
 
     buf = jnp.einsum("nec,nd->ecd", dis, xf)                      # (E, C, D)
@@ -122,14 +122,3 @@ def moe_mlp(
     aux = e * jnp.sum(frac_tokens * frac_probs)
 
     return out.reshape(b, t, d), aux
-
-
-def moe_param_rules():
-    """Extra sharding rules for MoE layers (prepend to PARAM_RULES)."""
-    from jax.sharding import PartitionSpec as P
-
-    return [
-        (r"moe/router/w", P()),
-        (r"moe/w_(gate|up)$", P("expert", None, "tensor")),
-        (r"moe/w_down$", P("expert", "tensor", None)),
-    ]

@@ -374,6 +374,11 @@ def phi3_forward(
     """
     if use_flash is None:
         use_flash = jax.default_backend() == "tpu"
+    if with_aux and cache is not None:
+        raise ValueError(
+            "with_aux is only tracked on the no-cache (training) path; "
+            "cached decode discards the per-layer MoE aux terms"
+        )
     aux = jnp.zeros((), jnp.float32)   # MoE load-balance loss (with_aux)
     x = inputs_embeds.astype(policy.compute_dtype)
     if sp_mesh is not None:

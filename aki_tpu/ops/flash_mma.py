@@ -40,6 +40,28 @@ from .masks import MMASpec
 NEG_INF = -1e30
 
 
+def _mask_ok(img_start_ref, txt_start_ref, txt_end_ref, kv_valid_ref,
+             b, q_start, k_start, block_q, block_kv, num_images, causal):
+    """The MMA mask predicate for one (q_block, kv_block) tile — the
+    semantic core of the kernel, shared by both variants. Depends only on
+    positions, so multi-head cells build it once per cell."""
+    q_pos = q_start + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_kv), 0
+    )
+    k_pos = k_start + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_kv), 1
+    )
+    ok = (k_pos <= q_pos) if causal else (k_pos == k_pos)
+    for n in range(num_images):
+        i0 = img_start_ref[b, n]
+        t0 = txt_start_ref[b, n]
+        t1 = txt_end_ref[b, n]
+        ok = ok | (
+            (q_pos >= i0) & (q_pos < t0) & (k_pos >= t0) & (k_pos < t1)
+        )
+    return ok & (kv_valid_ref[0] != 0)  # (1, block_kv) broadcasts over rows
+
+
 def _kernel(
     # scalar prefetch (SMEM)
     img_start_ref, txt_start_ref, txt_end_ref, q_offset_ref,
@@ -50,7 +72,6 @@ def _kernel(
     # scratch
     m_scr, l_scr, acc_scr,
     *,
-    scale: float,
     block_q: int,
     block_kv: int,
     block_h: int,
@@ -91,25 +112,13 @@ def _kernel(
 
     @pl.when(causal_overlap | mma_overlap)
     def _compute():
-        # The mask depends only on positions — build it ONCE per cell and
-        # share it across the block_h heads processed here (this VPU work
-        # rivals the MXU dots at AKI tile sizes; amortizing it is the point
-        # of multi-head cells).
-        q_pos = q_start + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_kv), 0
+        # Build the mask ONCE per cell and share it across the block_h
+        # heads processed here (this VPU work rivals the MXU dots at AKI
+        # tile sizes; amortizing it is the point of multi-head cells).
+        ok = _mask_ok(
+            img_start_ref, txt_start_ref, txt_end_ref, kv_valid_ref,
+            b, q_start, k_start, block_q, block_kv, num_images, causal,
         )
-        k_pos = k_start + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_kv), 1
-        )
-        ok = (k_pos <= q_pos) if causal else (k_pos == k_pos)
-        for n in range(num_images):
-            i0 = img_start_ref[b, n]
-            t0 = txt_start_ref[b, n]
-            t1 = txt_end_ref[b, n]
-            ok = ok | (
-                (q_pos >= i0) & (q_pos < t0) & (k_pos >= t0) & (k_pos < t1)
-            )
-        ok = ok & (kv_valid_ref[0] != 0)  # (1, block_kv) broadcasts over rows
         neg = jnp.where(ok, 0.0, NEG_INF)  # additive mask, reused per head
 
         for g in range(block_h):           # unrolled: static 2D dots (Mosaic
@@ -155,7 +164,6 @@ def _kernel_1kv(
     # output
     o_ref,
     *,
-    scale: float,
     block_q: int,
     block_kv: int,
     block_h: int,
@@ -171,19 +179,10 @@ def _kernel_1kv(
     q_offset = q_offset_ref[b]
     q_start = qi * block_q + q_offset
 
-    q_pos = q_start + jax.lax.broadcasted_iota(
-        jnp.int32, (block_q, block_kv), 0
+    ok = _mask_ok(
+        img_start_ref, txt_start_ref, txt_end_ref, kv_valid_ref,
+        b, q_start, 0, block_q, block_kv, num_images, causal,
     )
-    k_pos = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-    ok = (k_pos <= q_pos) if causal else (k_pos == k_pos)
-    for n in range(num_images):
-        i0 = img_start_ref[b, n]
-        t0 = txt_start_ref[b, n]
-        t1 = txt_end_ref[b, n]
-        ok = ok | (
-            (q_pos >= i0) & (q_pos < t0) & (k_pos >= t0) & (k_pos < t1)
-        )
-    ok = ok & (kv_valid_ref[0] != 0)
 
     for g in range(block_h):
         q = q_ref[0, g]          # scale pre-folded into q by the wrapper
@@ -196,8 +195,10 @@ def _kernel_1kv(
         s = jnp.where(ok, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         # masked entries: exp(NEG_INF - m) == 0 exactly, no second where
-        # needed. Fully-masked ROWS (m == NEG_INF -> p == 1) exist only
-        # among q-padding rows, which the wrapper slices away.
+        # pass needed. Fully-masked ROWS (m stuck at NEG_INF -> p == 1
+        # garbage) DO occur for real rows — left-padded samples, empty
+        # kv_valid — so zero them via the row max, matching the dense
+        # oracle (one (block_q, 1) compare, not a (bq, bkv) pass).
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         l = jnp.where(l == 0.0, 1.0, l)
@@ -205,7 +206,8 @@ def _kernel_1kv(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        o_ref[0, g] = (acc / l).astype(o_ref.dtype)
+        live = m > NEG_INF * 0.5          # (block_q, 1)
+        o_ref[0, g] = jnp.where(live, acc / l, 0.0).astype(o_ref.dtype)
 
 
 def _normalize_spec(spec, batch):
@@ -254,9 +256,12 @@ def _flash_fwd_impl(q, k, v, packed_spec, kv_valid_and_offset,
     # Multi-head cells: block_h q-heads share one grid cell so the mask
     # predicate (pure VPU work, identical across heads) is built once.
     # GQA keeps block_h == 1 — heads in one cell would span several KV
-    # heads and need distinct K/V tiles.
+    # heads and need distinct K/V tiles. Cap BEFORE the divisibility fix
+    # (capping after could yield a block_h that no longer divides h,
+    # silently dropping trailing heads).
     if group != 1:
         block_h = 1
+    block_h = min(block_h, 16)  # >16 heads of tiles blow VMEM at 768-blocks
     while h % block_h:
         block_h //= 2
 
@@ -282,12 +287,11 @@ def _flash_fwd_impl(q, k, v, packed_spec, kv_valid_and_offset,
         block_h = 2   # scoped-VMEM budget: online-softmax scratch scales
         while h % block_h:   # with block_h
             block_h //= 2
-    block_h = min(block_h, 16)  # >16 heads of tiles blow VMEM at 768-blocks
     grid = (b, h // block_h, nq, nk)
 
     kernel = functools.partial(
         _kernel_1kv if nk == 1 else _kernel,
-        scale=scale, block_q=block_q, block_kv=block_kv,
+        block_q=block_q, block_kv=block_kv,
         block_h=block_h, num_images=n_img, causal=causal,
     )
     scratch = [] if nk == 1 else [

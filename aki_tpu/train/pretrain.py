@@ -68,6 +68,8 @@ def main(argv=None):
         decay_policy=tc.get("decay_policy", "all"),
         training_mode=tc.get("training_mode", "resume"),
         log_every=tc.get("log_every", 10),
+        pp_microbatches=tc.get("pp_microbatches"),
+        moe_aux_weight=tc.get("moe_aux_weight", 0.01),
     )
     trainer = Trainer(model_cfg, run_cfg)
 

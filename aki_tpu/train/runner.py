@@ -54,6 +54,8 @@ class RunnerConfig:
     log_every: int = 10
     host_offload: bool = False         # saved activations -> pinned_host
                                        # (reference offload_to_cpu analogue)
+    pp_microbatches: int | None = None  # pipeline microbatches (mesh.pipe>1)
+    moe_aux_weight: float = 0.01       # Switch aux-loss weight (MoE decoder)
 
 
 class Trainer:
@@ -68,10 +70,21 @@ class Trainer:
         self.mesh = create_mesh(run_cfg.mesh)
         self.is_main = jax.process_index() == 0
 
+        # mesh axes beyond dp/fsdp/tp activate their code paths here — a
+        # seq/pipe size in the YAML mesh block must not silently run
+        # replicated redundant work
+        sp_mesh = self.mesh if self.mesh.shape["seq"] > 1 else None
+        pp_mesh = self.mesh if self.mesh.shape["pipe"] > 1 else None
+        rules = None
+        if pp_mesh is not None:
+            from ..parallel.pipeline import pp_param_rules
+
+            rules = pp_param_rules()
+
         params = init_params if init_params is not None else init_aki(
             jax.random.PRNGKey(run_cfg.seed), model_cfg
         )
-        params = shard_params(params, self.mesh)
+        params = shard_params(params, self.mesh, rules=rules)
         schedule = make_schedule(
             run_cfg.lr_schedule, run_cfg.learning_rate, run_cfg.min_lr,
             run_cfg.warmup_steps, run_cfg.total_steps,
@@ -105,6 +118,9 @@ class Trainer:
                 model_cfg, self.optimizer, policy=self.policy,
                 remat=run_cfg.remat, grad_accum=run_cfg.grad_accum,
                 order=run_cfg.order, host_offload=run_cfg.host_offload,
+                sp_mesh=sp_mesh, pp_mesh=pp_mesh,
+                pp_microbatches=run_cfg.pp_microbatches,
+                moe_aux_weight=run_cfg.moe_aux_weight,
             ),
             donate_argnums=(0,),
         )

@@ -60,7 +60,7 @@ class Batch:
 def make_loss_fn(cfg: AKIConfig, policy: Policy, remat: bool,
                  use_flash: bool | None, order: str = "image_first",
                  host_offload: bool = False, sp_mesh=None, pp_mesh=None,
-                 pp_microbatches=None):
+                 pp_microbatches=None, moe_aux_weight: float = 0.01):
     def loss_fn(params, batch: Batch):
         out = aki_forward(
             params, cfg, batch.input_ids, batch.images, batch.attn_valid,
@@ -69,6 +69,11 @@ def make_loss_fn(cfg: AKIConfig, policy: Policy, remat: bool,
             pp_mesh=pp_mesh, pp_microbatches=pp_microbatches,
         )
         loss = out.loss
+        if out.aux is not None:
+            # Switch load-balance term — without it the MoE router
+            # collapses onto one expert and capacity dropping zeroes
+            # most tokens' MLP output
+            loss = loss + moe_aux_weight * out.aux
         if batch.loss_weight is not None:
             loss = loss * batch.loss_weight
         return loss
@@ -98,11 +103,13 @@ def make_train_step(
     sp_mesh=None,
     pp_mesh=None,
     pp_microbatches=None,
+    moe_aux_weight: float = 0.01,
 ) -> Callable[[TrainState, Batch], tuple[TrainState, dict]]:
     """Build the (un-jitted) train step; jit with donate_argnums=(0,)."""
     loss_fn = make_loss_fn(cfg, policy, remat, use_flash, order,
                            host_offload=host_offload, sp_mesh=sp_mesh,
-                           pp_mesh=pp_mesh, pp_microbatches=pp_microbatches)
+                           pp_mesh=pp_mesh, pp_microbatches=pp_microbatches,
+                           moe_aux_weight=moe_aux_weight)
 
     def scaled_loss(params, micro):
         return loss_fn(params, micro) * loss_scale

@@ -44,6 +44,27 @@ def test_flash_matches_dense_mma(t):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
 
 
+def test_flash_fully_masked_rows_are_zero():
+    """Rows with NO valid key (left-padded samples: kv_valid zero over the
+    whole causal frontier) must output exactly 0, matching the dense
+    oracle — regression for the single-KV-tile kernel variant, which
+    dropped the dead-row zeroing when it dropped the per-head mask pass."""
+    rng = np.random.RandomState(7)
+    b, t, h, d = 2, 64, 2, 32
+    q, k, v = rand_qkv(rng, b, t, t, h, d)
+    # left padding: the first 4 keys of sample 0 are invalid, so causal
+    # rows 0..3 of sample 0 have no support at all
+    kv_valid = np.ones((b, t), np.int32)
+    kv_valid[0, :4] = 0
+    kv_valid = jnp.asarray(kv_valid)
+
+    got = flash_mma_attention(q, k, v, kv_valid=kv_valid, interpret=True)
+    want = dense_attention(q, k, v, spec=causal_spec(b), kv_valid=kv_valid)
+    np.testing.assert_allclose(np.asarray(got)[0, :4], 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_flash_causal_only():
     rng = np.random.RandomState(1)
     q, k, v = rand_qkv(rng, 1, 200, 200, 4, 32)

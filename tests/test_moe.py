@@ -121,6 +121,61 @@ def _sgd_step(p, s, loss_fn, opt):
     return optax.apply_updates(p, updates), s, l, aux
 
 
+def test_moe_aux_reaches_the_training_step():
+    """The Switch aux loss must flow through the STANDARD training path
+    (make_train_step over an AKI config with a MoE decoder) — regression
+    for aux being reachable only via hand-called phi3_forward."""
+    import dataclasses
+
+    import optax
+
+    from aki_tpu.models.aki import init_aki
+    from aki_tpu.models.common import F32
+    from aki_tpu.models.configs import aki_tiny
+    from aki_tpu.train.step import Batch, TrainState, make_train_step
+
+    base = aki_tiny()
+    cfg = dataclasses.replace(
+        base, phi3=dataclasses.replace(
+            base.phi3,
+            moe=MoEConfig(num_experts=4, top_k=2, intermediate_size=32,
+                          capacity_factor=2.0),
+        ),
+    )
+    params = init_aki(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    b, t = 4, 14
+    ids = rng.randint(5, cfg.initial_tokenizer_len - 1, size=(b, t))
+    ids[:, 1] = cfg.media_token_id
+    ids[:, 8] = cfg.assistant_token_id
+    labels = ids.copy()
+    labels[:, :9] = -100
+    s = cfg.siglip.image_size
+    batch = Batch(
+        input_ids=jnp.array(ids),
+        images=jnp.array(rng.randn(b, s, s, 3).astype(np.float32)),
+        attn_valid=jnp.ones((b, t), jnp.int32),
+        labels=jnp.array(labels),
+    )
+    opt = optax.sgd(1e-2)
+
+    def run(aux_w):
+        state = TrainState.create(jax.tree.map(jnp.copy, params), opt)
+        step = jax.jit(make_train_step(
+            cfg, opt, policy=F32, use_flash=False, moe_aux_weight=aux_w,
+        ))
+        state, m = step(state, batch)
+        router = np.asarray(state.params["phi3"]["layers"]["moe"]["router"]["w"])
+        return float(m["loss"]), router
+
+    l0, r0 = run(0.0)
+    l1, r1 = run(0.5)
+    assert np.isfinite(l0) and np.isfinite(l1)
+    # aux term changes both the reported loss and the router update
+    assert l1 > l0, (l0, l1)
+    assert np.abs(r1 - r0).max() > 0, "aux produced no router gradient"
+
+
 def test_moe_expert_parallel_matches_unsharded():
     cfg = MoEConfig(num_experts=8, top_k=2, intermediate_size=32,
                     capacity_factor=2.0)

@@ -46,6 +46,45 @@ PP_MESHES = [
 ]
 
 
+def test_trainer_activates_sp_and_pp_from_mesh_config(tmp_path):
+    """mesh: {seq: N} / {pipe: N} in a run config must activate the sp/pp
+    code paths (regression: the Trainer used to ignore the new axes and
+    run replicated redundant work)."""
+    from aki_tpu.train.runner import RunnerConfig, Trainer
+
+    class _Np:
+        pass
+
+    def batch_of(t):
+        rng = np.random.RandomState(0)
+        b = make_batch(rng, b=8, t=t)
+        nb = _Np()
+        nb.input_ids, nb.images = np.asarray(b.input_ids), np.asarray(b.images)
+        nb.attn_valid, nb.labels = np.asarray(b.attn_valid), np.asarray(b.labels)
+        return nb
+
+    # pipe=2: layer params must be stage-sharded and one epoch must step
+    tr = Trainer(CFG, RunnerConfig(
+        run_dir=str(tmp_path / "pp"), precision="fp32", remat=False,
+        total_steps=1, warmup_steps=1, checkpoint_steps=10,
+        mesh=MeshConfig(data=2, fsdp=1, tensor=1, pipe=2),
+        pp_microbatches=2,
+    ))
+    wq_spec = tr.state.params["phi3"]["layers"]["wq"].sharding.spec
+    assert "pipe" in str(wq_spec), wq_spec
+    steps = tr.run_epoch(iter([batch_of(16)]), epoch=0)
+    assert steps == 1
+
+    # seq=4: one epoch must step with the sp attention path
+    tr2 = Trainer(CFG, RunnerConfig(
+        run_dir=str(tmp_path / "sp"), precision="fp32", remat=False,
+        total_steps=1, warmup_steps=1, checkpoint_steps=10,
+        mesh=MeshConfig(data=2, fsdp=1, tensor=1, seq=4),
+    ))
+    steps = tr2.run_epoch(iter([batch_of(19)]), epoch=0)
+    assert steps == 1
+
+
 @pytest.mark.parametrize("name,mesh_cfg,m", PP_MESHES)
 def test_pp_step_matches_unsharded(name, mesh_cfg, m):
     params0 = init_aki(jax.random.PRNGKey(0), CFG)
