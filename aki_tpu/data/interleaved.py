@@ -41,6 +41,9 @@ class InterleavedConfig:
     max_num_images: int = 6
     seed: int = 0
     shuffle_buffer: int = 1000
+    loss_multiplier: float = 1.0     # per-dataset loss weight
+                                     # (reference --loss_multiplier_mmc4,
+                                     # train/train.py:103)
 
 
 @dataclasses.dataclass
@@ -49,6 +52,7 @@ class InterleavedBatch:
     attn_valid: np.ndarray   # (B, T)
     labels: np.ndarray       # (B, T)
     images: np.ndarray       # (B, N_img, S, S, 3)
+    loss_weight: float = 1.0
 
 
 def preprocess_interleaved(info: dict, tokenizer, cfg: InterleavedConfig,
@@ -161,5 +165,6 @@ def batches(cfg: InterleavedConfig, tokenizer, epoch: int = 0,
             yield InterleavedBatch(
                 input_ids=input_ids, attn_valid=valid, labels=labels,
                 images=np.stack(buf_imgs).astype(np.float32),
+                loss_weight=cfg.loss_multiplier,
             )
             buf_imgs, buf_ids = [], []

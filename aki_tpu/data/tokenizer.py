@@ -52,8 +52,13 @@ class HFTokenizer:
 
         tok = AutoTokenizer.from_pretrained(path, use_fast=use_fast,
                                             local_files_only=True)
-        # reference guarantees (factory.py:100-109)
-        if tok.pad_token is None:
+        # reference guarantees (factory.py:107-109, 118-123): a DEDICATED
+        # pad token is added when pad is missing OR aliases eos — Phi-3.5's
+        # tokenizer_config sets pad == eos == <|endoftext|>, and the
+        # released checkpoint was trained with the extra <pad> row
+        # (pad_id=32011, initial_tokenizer_len=32012). Only checking `is
+        # None` would shift the whole decoupled-vocab layout by one.
+        if tok.pad_token is None or tok.pad_token == tok.eos_token:
             tok.add_special_tokens({"pad_token": PAD_TOKEN})
         initial_len = len(tok)
         tok.add_special_tokens(

@@ -126,7 +126,10 @@ def run_eval(params, cfg, tokenizer, samples, *, batch_size=16,
                 n = len(s["ids"])
                 ids[r, :n] = s["ids"]
                 valid[r, :n] = 1
-                imgs[r] = s["image"]
+                im = s["image"]
+                if "image_size" in s:  # raw PIL/array: preprocess per batch
+                    im = preprocess(im, s["image_size"])
+                imgs[r] = im
             tokens, num = generate(
                 params, cfg, jnp.asarray(ids), jnp.asarray(imgs),
                 jnp.asarray(valid), max_new_tokens=max_new_tokens,
@@ -171,7 +174,11 @@ def main(argv=None):
         samples.append({
             # add_special_tokens=False: the "<s> " prefix supplies bos
             "ids": tokenizer.encode(prompt),
-            "image": preprocess(ex["image"], img_size),
+            # raw image kept; preprocessing happens inside the batch loop
+            # (materializing ~2.6k (384,384,3) float32 up front costs
+            # ~4.6 GB host RAM for nothing)
+            "image": ex["image"],
+            "image_size": img_size,
             "answer": ex["answer"].replace("(", "").replace(")", ""),
             "source": ex.get("source", "unknown"),
         })
@@ -201,18 +208,28 @@ def main(argv=None):
     # (eval.py:120-131 — per-source average, not pooled)
     def acc(src):
         vals = correct_by_source.get(src, [])
-        return 100.0 * np.mean(vals) if vals else float("nan")
+        return 100.0 * np.mean(vals) if vals else None
+
+    def fmt(v):
+        return f"{v:.2f}" if v is not None else "n/a"
+
+    def mean_present(*vals):
+        # full-set semantics unchanged; partial runs (--limit selects a
+        # prefix of the source-ordered set) average the PRESENT sources
+        # instead of reporting NaN everywhere
+        present = [v for v in vals if v is not None]
+        return float(np.mean(present)) if present else None
 
     a_ade, a_coco, a_omni = acc("ADE20K"), acc("COCO"), acc("Omni3D")
-    acc2d = (a_ade + a_coco) / 2
+    acc2d = mean_present(a_ade, a_coco)
     acc3d = a_omni
     report = (
-        f"CV-Bench Accuracy: {(acc2d + acc3d) / 2:.2f}\n"
-        f"2D Accuracy: {acc2d:.2f}\n"
-        f"3D Accuracy: {acc3d:.2f}\n"
-        f"ADE20K Accuracy: {a_ade:.2f}\n"
-        f"COCO Accuracy: {a_coco:.2f}\n"
-        f"Omni3D Accuracy: {a_omni:.2f}\n"
+        f"CV-Bench Accuracy: {fmt(mean_present(acc2d, acc3d))}\n"
+        f"2D Accuracy: {fmt(acc2d)}\n"
+        f"3D Accuracy: {fmt(acc3d)}\n"
+        f"ADE20K Accuracy: {fmt(a_ade)}\n"
+        f"COCO Accuracy: {fmt(a_coco)}\n"
+        f"Omni3D Accuracy: {fmt(a_omni)}\n"
     )
     (out / "report.txt").write_text(report)
     print(report, end="")

@@ -68,6 +68,7 @@ def main(argv=None):
         decay_policy=tc.get("decay_policy", "all"),
         training_mode=tc.get("training_mode", "resume"),
         log_every=tc.get("log_every", 10),
+        host_offload=tc.get("host_offload", False),
         pp_microbatches=tc.get("pp_microbatches"),
         moe_aux_weight=tc.get("moe_aux_weight", 0.01),
     )
@@ -92,6 +93,7 @@ def main(argv=None):
                 min_num_images=d.get("min_num_images", 1),
                 max_num_images=d.get("max_num_images", 6),
                 seed=run_cfg.seed,
+                loss_multiplier=d.get("loss_multiplier", 1.0),
             ), interleaved_batches))
         else:
             ds_cfgs.append((PretrainConfig(
@@ -119,9 +121,13 @@ def main(argv=None):
             def mk(w, n):
                 cfg_w = dc
                 if getattr(dc, "num_samples", None):
-                    cfg_w = dataclasses.replace(
-                        dc, num_samples=dc.num_samples // n
+                    # split the budget with the remainder spread over the
+                    # first workers — a plain // floors small budgets to 0
+                    # and the epoch silently trains nothing
+                    share = dc.num_samples // n + (
+                        1 if w < dc.num_samples % n else 0
                     )
+                    cfg_w = dataclasses.replace(dc, num_samples=share)
                 return batches_fn(cfg_w, tokenizer, epoch=ep, rank=rank,
                                   world=world, worker=w, num_workers=n)
             return mk

@@ -56,6 +56,7 @@ def main(argv=None):
         decay_policy=tc.get("decay_policy", "all"),
         training_mode=tc.get("training_mode", "sft_scratch"),
         log_every=tc.get("log_every", 10),
+        host_offload=tc.get("host_offload", False),
         pp_microbatches=tc.get("pp_microbatches"),
         moe_aux_weight=tc.get("moe_aux_weight", 0.01),
     )

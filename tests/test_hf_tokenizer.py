@@ -56,6 +56,28 @@ def test_layout_and_specials(tok_dir):
     assert info.bos_id != info.eos_id
 
 
+def test_pad_aliasing_eos_gets_dedicated_pad(tok_dir, tmp_path):
+    """Phi-3.5 ships pad_token == eos_token == <|endoftext|>; the reference
+    factory (factory.py:118-123) adds a dedicated <pad> in that case and
+    the released checkpoint's vocab layout depends on it — regression for
+    the adapter only checking `pad_token is None`."""
+    import shutil
+
+    d = tmp_path / "tok_padeos"
+    shutil.copytree(tok_dir, d)
+    cfgf = d / "tokenizer_config.json"
+    cfg = json.loads(cfgf.read_text())
+    cfg["pad_token"] = cfg["eos_token"]     # the Phi-3.5 situation
+    cfgf.write_text(json.dumps(cfg))
+
+    t = HFTokenizer(str(d), use_fast=True)
+    info = t.info
+    assert info.pad_id != info.eos_id, "pad must not alias eos"
+    # layout invariants still hold: <pad> inside initial_len, media after
+    assert info.pad_id < info.initial_len
+    assert info.media_id == info.initial_len
+
+
 def test_specials_tokenize_without_spaces(tok_dir):
     """The no-space production templates must split on special tokens."""
     t = HFTokenizer(tok_dir, use_fast=True)

@@ -91,7 +91,9 @@ def test_checkpoint_cross_topology_restore(tmp_path):
     params_b = shard_params(init_aki(jax.random.PRNGKey(99), cfg), mesh_b)
     state_b = TrainState.create(params_b, opt)
     restored, epoch = mgr.restore(state_b)
-    assert epoch == 1 and int(restored.step) == 0 or True  # step saved below
+    # state_a carried step 0 (the step=7 kwarg only names the checkpoint)
+    assert epoch == 1
+    assert int(restored.step) == 0
     # values come from the mesh-A checkpoint
     np.testing.assert_allclose(
         np.asarray(restored.params["phi3"]["layers"]["wq"]),
