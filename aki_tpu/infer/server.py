@@ -60,7 +60,8 @@ class ServingEngine:
                  max_len: int = 1024, prompt_bucket: int = 512,
                  admit_batch: int = 4, decode_chunk: int = 8,
                  policy: Policy = Policy(param_dtype=jnp.bfloat16),
-                 sampling: SamplingConfig = SamplingConfig()):
+                 sampling: SamplingConfig = SamplingConfig(),
+                 kv_int8: bool = False):
         self.params = params
         self.cfg = cfg
         self.policy = policy
@@ -70,10 +71,20 @@ class ServingEngine:
         self.prompt_bucket = prompt_bucket
         self.admit_batch = max(1, min(admit_batch, num_slots))
         self.decode_chunk = max(1, decode_chunk)
+        # int8 KV halves slot-cache HBM: the memory-capacity option for
+        # more slots / longer contexts (slightly slower per step at bs16,
+        # see PERF.md)
+        self.kv_int8 = kv_int8
 
+        if kv_int8:
+            from ..models.phi3 import KVCacheQ
+
+            cache = KVCacheQ.create(cfg.phi3, num_slots, max_len)
+        else:
+            cache = KVCache.create(cfg.phi3, num_slots, max_len,
+                                   dtype=policy.compute_dtype)
         self.state = GenState(
-            cache=KVCache.create(cfg.phi3, num_slots, max_len,
-                                 dtype=policy.compute_dtype),
+            cache=cache,
             kv_valid=jnp.zeros((num_slots, max_len), jnp.int32),
             lengths=jnp.zeros((num_slots,), jnp.int32),
             last_logits=jnp.zeros(
@@ -93,19 +104,32 @@ class ServingEngine:
     # -- jitted device functions ---------------------------------------------
     def _prefill_batch_impl(self, params, ids, img, valid):
         return prefill(params, self.cfg, ids, img, valid,
-                       max_len=self.max_len, policy=self.policy)
+                       max_len=self.max_len, policy=self.policy,
+                       kv_int8=self.kv_int8)
 
     def _insert_impl(self, state: GenState, new: GenState, slots):
         """Scatter all admit_batch rows of ``new`` into their slots; padded
         rows carry slot index == num_slots and drop."""
-        k = state.cache.k.at[:, slots].set(new.cache.k, mode="drop")
-        v = state.cache.v.at[:, slots].set(new.cache.v, mode="drop")
+        from ..models.phi3 import KVCacheQ
+
+        if isinstance(state.cache, KVCacheQ):
+            cache = KVCacheQ(
+                k=state.cache.k.at[:, slots].set(new.cache.k, mode="drop"),
+                ks=state.cache.ks.at[:, slots].set(new.cache.ks, mode="drop"),
+                v=state.cache.v.at[:, slots].set(new.cache.v, mode="drop"),
+                vs=state.cache.vs.at[:, slots].set(new.cache.vs, mode="drop"),
+            )
+        else:
+            cache = KVCache(
+                k=state.cache.k.at[:, slots].set(new.cache.k, mode="drop"),
+                v=state.cache.v.at[:, slots].set(new.cache.v, mode="drop"),
+            )
         kv_valid = state.kv_valid.at[slots].set(new.kv_valid, mode="drop")
         lengths = state.lengths.at[slots].set(new.lengths, mode="drop")
         last_logits = state.last_logits.at[slots].set(
             new.last_logits, mode="drop"
         )
-        return GenState(cache=KVCache(k=k, v=v), kv_valid=kv_valid,
+        return GenState(cache=cache, kv_valid=kv_valid,
                         lengths=lengths, last_logits=last_logits)
 
     def _decode_impl(self, params, state: GenState, active, key):

@@ -46,6 +46,28 @@ def test_server_matches_one_shot_greedy():
         assert got == list(np.asarray(want)[0]), (got, np.asarray(want)[0])
 
 
+def test_server_kv_int8_matches_one_shot():
+    """The memory-capacity mode: int8 slot cache through the full server
+    loop (admission scatter of the 4-buffer cache + fused decode)."""
+    params = init_aki(jax.random.PRNGKey(0), CFG)
+    engine = ServingEngine(params, CFG, num_slots=2, max_len=48,
+                           prompt_bucket=12, policy=F32, kv_int8=True)
+    reqs, prompts = [], []
+    for i in range(3):
+        ids, img = make_prompt(np.random.RandomState(200 + i))
+        prompts.append((ids, img))
+        reqs.append(engine.submit(ids, img, max_new_tokens=4))
+    engine.run_until_drained()
+    for (ids, img), req in zip(prompts, reqs):
+        got = req.result(timeout=1)
+        want, _ = generate(
+            params, CFG, jnp.array([ids], jnp.int32), jnp.array(img[None]),
+            jnp.ones((1, len(ids)), jnp.int32), max_new_tokens=4, max_len=48,
+            policy=F32, use_flash=False, kv_int8=True,
+        )
+        assert got == list(np.asarray(want)[0]), (got, np.asarray(want)[0])
+
+
 def test_server_eos_frees_slot_early():
     rng = np.random.RandomState(1)
     params = init_aki(jax.random.PRNGKey(1), CFG)
