@@ -141,6 +141,8 @@ def batches(
 ) -> Iterator[PretrainBatch]:
     pad = tokenizer.info.pad_id
     t = cfg.max_text_len
+    if cfg.num_samples is not None and cfg.num_samples <= 0:
+        return  # zero-budget shard (worker split remainder)
     buf_imgs, buf_ids = [], []
     count = 0
     for img, ids in sample_stream(cfg, tokenizer, epoch, **stream_kwargs):

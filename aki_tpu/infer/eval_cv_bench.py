@@ -126,6 +126,9 @@ def run_eval(params, cfg, tokenizer, samples, *, batch_size=16,
                 n = len(s["ids"])
                 ids[r, :n] = s["ids"]
                 valid[r, :n] = 1
+                if r >= len(chunk):      # batch-pad rows repeat chunk[0] —
+                    imgs[r] = imgs[0]    # reuse its preprocessed pixels
+                    continue
                 im = s["image"]
                 if "image_size" in s:  # raw PIL/array: preprocess per batch
                     im = preprocess(im, s["image_size"])

@@ -131,6 +131,7 @@ def aki_forward(
     sp_mesh=None,
     pp_mesh=None,
     pp_microbatches: int | None = None,
+    ep_mesh=None,
 ) -> AKIOutput:
     """Training/eval forward.
 
@@ -175,13 +176,22 @@ def aki_forward(
         # MoE decoders surface the Switch aux loss so the trainer can
         # weight it in — without this the router gets no balance pressure
         moe = cfg.phi3.moe is not None
-        out = phi3_forward(
-            params["phi3"], cfg.phi3, sp.embeds, sp.positions,
-            spec=sp.spec, kv_valid=sp.attn_valid,
-            policy=policy, remat=remat, use_flash=use_flash, tp_mesh=tp_mesh,
-            sp_mesh=sp_mesh, with_aux=moe,
-        )
-        hidden, aux = (out[0], out[2]) if moe else (out[0], None)
+        if moe:
+            hidden, _, aux = phi3_forward(
+                params["phi3"], cfg.phi3, sp.embeds, sp.positions,
+                spec=sp.spec, kv_valid=sp.attn_valid,
+                policy=policy, remat=remat, use_flash=use_flash,
+                tp_mesh=tp_mesh, sp_mesh=sp_mesh, ep_mesh=ep_mesh,
+                with_aux=True,
+            )
+        else:
+            hidden, _ = phi3_forward(
+                params["phi3"], cfg.phi3, sp.embeds, sp.positions,
+                spec=sp.spec, kv_valid=sp.attn_valid,
+                policy=policy, remat=remat, use_flash=use_flash,
+                tp_mesh=tp_mesh, sp_mesh=sp_mesh,
+            )
+            aux = None
     logits = lm_logits(params, cfg, hidden, policy)
     loss = next_token_loss(logits, sp.labels) if labels is not None else None
     return AKIOutput(logits=logits, loss=loss, spliced=sp, aux=aux)

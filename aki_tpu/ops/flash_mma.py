@@ -441,6 +441,13 @@ def flash_mma_attention_sp(
     heads = "tensor" if "tensor" in names else None
 
     b, t, _, _ = q.shape
+    n_seq = mesh.shape[axis]
+    if t % n_seq:
+        raise ValueError(
+            f"sequence length {t} must divide the '{axis}' axis ({n_seq}); "
+            f"pad the spliced sequence to a multiple (the data layer's "
+            f"length buckets can guarantee this)"
+        )
     img_start, txt_start, txt_end, _ = _normalize_spec(spec, b)
     if kv_valid is None:
         kv_valid = jnp.ones((b, k.shape[1]), jnp.int32)

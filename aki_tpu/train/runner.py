@@ -75,6 +75,7 @@ class Trainer:
         # replicated redundant work
         sp_mesh = self.mesh if self.mesh.shape["seq"] > 1 else None
         pp_mesh = self.mesh if self.mesh.shape["pipe"] > 1 else None
+        ep_mesh = self.mesh if self.mesh.shape["expert"] > 1 else None
         rules = None
         if pp_mesh is not None:
             from ..parallel.pipeline import pp_param_rules
@@ -120,7 +121,7 @@ class Trainer:
                 order=run_cfg.order, host_offload=run_cfg.host_offload,
                 sp_mesh=sp_mesh, pp_mesh=pp_mesh,
                 pp_microbatches=run_cfg.pp_microbatches,
-                moe_aux_weight=run_cfg.moe_aux_weight,
+                moe_aux_weight=run_cfg.moe_aux_weight, ep_mesh=ep_mesh,
             ),
             donate_argnums=(0,),
         )

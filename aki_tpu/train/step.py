@@ -60,22 +60,27 @@ class Batch:
 def make_loss_fn(cfg: AKIConfig, policy: Policy, remat: bool,
                  use_flash: bool | None, order: str = "image_first",
                  host_offload: bool = False, sp_mesh=None, pp_mesh=None,
-                 pp_microbatches=None, moe_aux_weight: float = 0.01):
+                 pp_microbatches=None, moe_aux_weight: float = 0.01,
+                 ep_mesh=None):
     def loss_fn(params, batch: Batch):
         out = aki_forward(
             params, cfg, batch.input_ids, batch.images, batch.attn_valid,
             labels=batch.labels, policy=policy, remat=remat,
             use_flash=use_flash, order=order, sp_mesh=sp_mesh,
             pp_mesh=pp_mesh, pp_microbatches=pp_microbatches,
+            ep_mesh=ep_mesh,
         )
         loss = out.loss
+        if batch.loss_weight is not None:
+            # the per-dataset multiplier scales the CE loss only
+            # (reference train.py:103); router balance pressure must not
+            # vary by dataset
+            loss = loss * batch.loss_weight
         if out.aux is not None:
             # Switch load-balance term — without it the MoE router
             # collapses onto one expert and capacity dropping zeroes
             # most tokens' MLP output
             loss = loss + moe_aux_weight * out.aux
-        if batch.loss_weight is not None:
-            loss = loss * batch.loss_weight
         return loss
 
     if host_offload:
@@ -104,12 +109,13 @@ def make_train_step(
     pp_mesh=None,
     pp_microbatches=None,
     moe_aux_weight: float = 0.01,
+    ep_mesh=None,
 ) -> Callable[[TrainState, Batch], tuple[TrainState, dict]]:
     """Build the (un-jitted) train step; jit with donate_argnums=(0,)."""
     loss_fn = make_loss_fn(cfg, policy, remat, use_flash, order,
                            host_offload=host_offload, sp_mesh=sp_mesh,
                            pp_mesh=pp_mesh, pp_microbatches=pp_microbatches,
-                           moe_aux_weight=moe_aux_weight)
+                           moe_aux_weight=moe_aux_weight, ep_mesh=ep_mesh)
 
     def scaled_loss(params, micro):
         return loss_fn(params, micro) * loss_scale

@@ -4,4 +4,4 @@
 # On TPU pods, run once per host; jax.distributed discovers topology.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-exec python -m aki_tpu.train.pretrain --config configs/pretrain.yaml "$@"
+exec python -m aki_tpu.train.pretrain --config aki_tpu/configs/pretrain.yaml "$@"

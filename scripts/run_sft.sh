@@ -4,4 +4,4 @@
 #   scripts/run_sft.sh training.lr=1e-5 mesh.fsdp=8
 set -euo pipefail
 cd "$(dirname "$0")/.."
-exec python -m aki_tpu.train.sft --config configs/sft.yaml "$@"
+exec python -m aki_tpu.train.sft --config aki_tpu/configs/sft.yaml "$@"
