@@ -67,6 +67,10 @@ class CheckpointManager:
 
     # -- save / restore ------------------------------------------------------
     def save(self, state: Any, epoch: int, step: int | None = None) -> Path:
+        """Save. **Collective**: on a multi-host mesh every process must
+        call this (each host writes its array shards; orbax coordinates
+        commit). Callers must NOT gate it on ``process_index() == 0`` —
+        that deadlocks. GC of old checkpoints runs on process 0 only."""
         name = f"checkpoint_{epoch}" + (f"_{step}" if step is not None else "")
         target = self.path / name
         savable_params, _ = split_frozen(state.params)
@@ -76,13 +80,24 @@ class CheckpointManager:
             "step": state.step,
             "epoch": np.asarray(epoch, np.int32),
         }
+        if jax.process_count() > 1:
+            # host-local leaves (the step counter, optax count scalars —
+            # anything not placed on the global mesh) cannot serialize as
+            # jax.Arrays in a multi-host job; hand them to orbax as numpy
+            # (treated as replicated, written by the primary only)
+            def to_host(x):
+                if isinstance(x, jax.Array) and x.is_fully_addressable:
+                    return np.asarray(x)
+                return x
+
+            payload = jax.tree.map(to_host, payload)
         self._ckptr.save(target, payload)
         self._ckptr.wait_until_finished()
         self._gc(keep=target)
         return target
 
     def _gc(self, keep: Path):
-        if self.keep_last is None:
+        if self.keep_last is None or jax.process_index() != 0:
             return
         cks = [p for *_, p in self.list_checkpoints() if p != keep]
         for p in cks[: max(0, len(cks) - (self.keep_last - 1))]:

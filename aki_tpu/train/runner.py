@@ -175,13 +175,18 @@ class Trainer:
                     step_time=step_time.avg,
                     data_time=data_time.avg,
                 )
-            if step % cfg.checkpoint_steps == 0 and self.is_main:
+            if step % cfg.checkpoint_steps == 0:
+                # EVERY process enters save: orbax's sharded-array write is
+                # a collective (each host writes its shards; rank-0-only
+                # would deadlock a multi-host mesh). The reference's rank-0
+                # torch.save gather (train_utils.py:413-461) has no analogue
+                # here — is_main only guards logging and GC.
                 self.ckpt.save(self.state, epoch=epoch, step=step)
             step_time.update(time.perf_counter() - t_end)
             t_end = time.perf_counter()
         return int(self.state.step)
 
     def finish(self, epoch: int):
-        if self.is_main:
-            self.ckpt.save(self.state, epoch=epoch, step=int(self.state.step))
+        # all processes: orbax save is collective (see run_epoch)
+        self.ckpt.save(self.state, epoch=epoch, step=int(self.state.step))
         self.metrics.close()
