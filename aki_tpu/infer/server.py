@@ -61,7 +61,9 @@ class ServingEngine:
                  admit_batch: int = 4, decode_chunk: int = 8,
                  policy: Policy = Policy(param_dtype=jnp.bfloat16),
                  sampling: SamplingConfig = SamplingConfig(),
-                 kv_int8: bool = False):
+                 kv_int8: bool = False, admit_policy: str = "greedy"):
+        if admit_policy not in ("greedy", "batched"):
+            raise ValueError(f"admit_policy {admit_policy!r}")
         self.params = params
         self.cfg = cfg
         self.policy = policy
@@ -71,6 +73,13 @@ class ServingEngine:
         self.prompt_bucket = prompt_bucket
         self.admit_batch = max(1, min(admit_batch, num_slots))
         self.decode_chunk = max(1, decode_chunk)
+        # "greedy": admit into every free slot immediately (best TTFT).
+        # "batched": under backlog, hold admission until a full
+        # ``admit_batch`` of slots is free — a bs-8 prefill is ~2x the MXU
+        # efficiency of 4 bs-2 prefills, and decode-step cost is nearly
+        # flat in the active-slot count (weight-read bound), so waiting
+        # costs little and the drain throughput rises (best img/s).
+        self.admit_policy = admit_policy
         # int8 KV halves slot-cache HBM: the memory-capacity option for
         # more slots / longer contexts (slightly slower per step at bs16,
         # see PERF.md)
@@ -245,7 +254,13 @@ class ServingEngine:
         """Admit queued requests into free slots (batched), run one decode
         step. Returns the number of active slots."""
         free = [i for i, r in enumerate(self.slot_req) if r is None]
-        while free and not self.queue.empty():
+        n_active = self.num_slots - len(free)
+        hold = (
+            self.admit_policy == "batched"
+            and n_active > 0
+            and len(free) < min(self.admit_batch, self.queue.qsize())
+        )
+        while free and not self.queue.empty() and not hold:
             take_slots, take_reqs = [], []
             while free and len(take_reqs) < self.admit_batch:
                 try:

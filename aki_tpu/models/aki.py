@@ -164,14 +164,14 @@ def aki_forward(
     if pp_mesh is not None:
         from ..parallel.pipeline import phi3_forward_pp
 
-        assert cfg.phi3.moe is None, "pipeline v1 stages dense layers only"
-        hidden = phi3_forward_pp(
+        hidden, aux = phi3_forward_pp(
             params["phi3"], cfg.phi3, sp.embeds, sp.positions,
             spec=sp.spec, kv_valid=sp.attn_valid, mesh=pp_mesh,
             num_microbatches=pp_microbatches, policy=policy, remat=remat,
             use_flash=use_flash,
         )
-        aux = None
+        # MoE stages flow their Switch aux through the pipe payload
+        aux = aux if cfg.phi3.moe is not None else None
     else:
         # MoE decoders surface the Switch aux loss so the trainer can
         # weight it in — without this the router gets no balance pressure

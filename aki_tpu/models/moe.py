@@ -20,6 +20,14 @@ framework covers every parallelism mode on TPU:
 ``moe_mlp`` is a drop-in replacement for the SiLU-gated dense MLP in
 ``models/phi3.py`` — same (B, T, D) -> (B, T, D) contract, gated by
 ``Phi3Config.moe``.
+
+Scaling limit of the dense dispatch: the (N, k, E, C) one-hot tensor has
+C ~ N*k/E, so its transient footprint grows as O(k^2 * N^2) per layer —
+fine at the tested geometries (and the EP-sharded (E, C, D) buffers are
+what persist), but at 4B-scale token counts (~10k tokens/step) the
+dispatch one-hot alone reaches GB scale. Before running MoE at that
+geometry, switch dispatch to a chunked or sort-based (ragged) scheme;
+the routing/aux contract here stays the same.
 """
 
 from __future__ import annotations

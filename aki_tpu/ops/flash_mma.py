@@ -169,20 +169,31 @@ def _kernel_1kv(
     block_h: int,
     num_images: int,
     causal: bool,
+    plain: bool = False,
 ):
     """Single-KV-tile specialization: the whole softmax happens in one cell,
     so the online-softmax scratch (m/l/acc across kj) is dead weight — this
     variant needs none, which is what lets block_h > 2 fit scoped VMEM.
-    AKI sequences (~0.7k spliced) always take this path."""
+    AKI sequences (~0.7k spliced) always take this path.
+
+    The mask enters as a per-cell additive ``neg`` tile shared by all
+    block_h heads — measured on v5e, per-head ``where`` selects over the
+    (block_q, block_kv) scores rival the MXU dots (this kernel is
+    VPU-bound at AKI tile sizes). ``plain=True`` (full attention: encoder
+    with no padding) skips mask work entirely — 2.4x faster measured."""
     b = pl.program_id(0)
     qi = pl.program_id(2)
-    q_offset = q_offset_ref[b]
-    q_start = qi * block_q + q_offset
 
-    ok = _mask_ok(
-        img_start_ref, txt_start_ref, txt_end_ref, kv_valid_ref,
-        b, q_start, 0, block_q, block_kv, num_images, causal,
-    )
+    if plain:
+        neg = None
+    else:
+        q_offset = q_offset_ref[b]
+        q_start = qi * block_q + q_offset
+        ok = _mask_ok(
+            img_start_ref, txt_start_ref, txt_end_ref, kv_valid_ref,
+            b, q_start, 0, block_q, block_kv, num_images, causal,
+        )
+        neg = jnp.where(ok, 0.0, NEG_INF)   # built once, added per head
 
     for g in range(block_h):
         q = q_ref[0, g]          # scale pre-folded into q by the wrapper
@@ -192,7 +203,8 @@ def _kernel_1kv(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        s = jnp.where(ok, s, NEG_INF)
+        if neg is not None:
+            s = s + neg
         m = jnp.max(s, axis=-1, keepdims=True)
         # masked entries: exp(NEG_INF - m) == 0 exactly, no second where
         # pass needed. Fully-masked ROWS (m stuck at NEG_INF -> p == 1
@@ -201,13 +213,16 @@ def _kernel_1kv(
         # oracle (one (block_q, 1) compare, not a (bq, bkv) pass).
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        l = jnp.where(l == 0.0, 1.0, l)
         acc = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        live = m > NEG_INF * 0.5          # (block_q, 1)
-        o_ref[0, g] = jnp.where(live, acc / l, 0.0).astype(o_ref.dtype)
+        if plain:
+            o_ref[0, g] = (acc / l).astype(o_ref.dtype)
+        else:
+            l = jnp.where(l == 0.0, 1.0, l)
+            live = m > NEG_INF * 0.5          # (block_q, 1)
+            o_ref[0, g] = jnp.where(live, acc / l, 0.0).astype(o_ref.dtype)
 
 
 def _normalize_spec(spec, batch):
@@ -233,18 +248,19 @@ def _pad_to(x, size, axis):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11)
 )
 def _flash(q, k, v, packed_spec, kv_valid_and_offset,
-           causal, scale, block_q, block_kv, block_h, interpret):
+           causal, scale, block_q, block_kv, block_h, interpret, plain):
     return _flash_fwd_impl(
         q, k, v, packed_spec, kv_valid_and_offset,
-        causal, scale, block_q, block_kv, block_h, interpret,
+        causal, scale, block_q, block_kv, block_h, interpret, plain,
     )
 
 
 def _flash_fwd_impl(q, k, v, packed_spec, kv_valid_and_offset,
-                    causal, scale, block_q, block_kv, block_h, interpret):
+                    causal, scale, block_q, block_kv, block_h, interpret,
+                    plain=False):
     img_start, txt_start, txt_end = packed_spec
     kv_valid, q_offset = kv_valid_and_offset
     b, t, h, d = q.shape
@@ -272,17 +288,44 @@ def _flash_fwd_impl(q, k, v, packed_spec, kv_valid_and_offset,
     t_pad = ((t + block_q - 1) // block_q) * block_q
     s_pad = ((s_len + block_kv - 1) // block_kv) * block_kv
 
+    nq, nk = t_pad // block_q, s_pad // block_kv
+
+    # full-attention fast path (encoder): no causal frontier, no MMA
+    # rectangles, no kv_valid — the ONLY masking needed is the key rows the
+    # wrapper itself pads in, and that is encoded into the dot: q gets 1.0
+    # in its first pad lane and padded key rows get NEG_INF there, so
+    # padded columns score -1e30 straight off the MXU and the kernel runs
+    # a maskless softmax (the per-head (block_q, block_kv) select passes
+    # were rivaling the dots — measured 2.4x on the SigLIP shapes).
+    plain = plain and nk == 1 and d < d_pad
+
     # Fold the softmax scale into q here: one elementwise pass over
     # (B,T,H,D) instead of a per-cell pass over every (block_q, block_kv)
     # score tile inside the kernel.
-    qt = _pad_to(_pad_to(q * jnp.asarray(scale, q.dtype), t_pad, 1),
-                 d_pad, 3).transpose(0, 2, 1, 3)
-    kt = _pad_to(_pad_to(k, s_pad, 1), d_pad, 3).transpose(0, 2, 1, 3)
+    qs = q * jnp.asarray(scale, q.dtype)
+    if plain and s_len < s_pad:
+        # padded key rows carry NEG_INF in the first pad lane and q
+        # carries 1.0 there, so the pad mask rides the QK dot itself.
+        # Built by CONCATENATION — a minor-dim .at[].set scatter relayouts
+        # the whole tensor (measured +1.2 ms/layer on SigLIP shapes).
+        one = jnp.ones_like(qs[..., :1])
+        zq = jnp.zeros(qs.shape[:-1] + (d_pad - d - 1,), qs.dtype)
+        qt = _pad_to(jnp.concatenate([qs, one, zq], -1), t_pad, 1)
+        kp = _pad_to(k, s_pad, 1)
+        kbias = jnp.concatenate(
+            [jnp.zeros((b, s_len, hkv, 1), k.dtype),
+             jnp.full((b, s_pad - s_len, hkv, 1), NEG_INF, k.dtype)], 1
+        )
+        zk = jnp.zeros(kp.shape[:-1] + (d_pad - d - 1,), k.dtype)
+        kt = jnp.concatenate([kp, kbias, zk], -1)
+    else:
+        qt = _pad_to(_pad_to(qs, t_pad, 1), d_pad, 3)
+        kt = _pad_to(_pad_to(k, s_pad, 1), d_pad, 3)
     vt = _pad_to(_pad_to(v, s_pad, 1), d_pad, 3).transpose(0, 2, 1, 3)
+    qt = qt.transpose(0, 2, 1, 3)
+    kt = kt.transpose(0, 2, 1, 3)
     # (B, 1, S): middle dim full so the (1, 1, block_kv) block tiles legally
     kv_valid_p = _pad_to(kv_valid.astype(jnp.int32), s_pad, 1)[:, None, :]
-
-    nq, nk = t_pad // block_q, s_pad // block_kv
     if nk > 1 and block_h > 2:
         block_h = 2   # scoped-VMEM budget: online-softmax scratch scales
         while h % block_h:   # with block_h
@@ -293,6 +336,7 @@ def _flash_fwd_impl(q, k, v, packed_spec, kv_valid_and_offset,
         _kernel_1kv if nk == 1 else _kernel,
         block_q=block_q, block_kv=block_kv,
         block_h=block_h, num_images=n_img, causal=causal,
+        **({"plain": True} if plain else {}),
     )
     scratch = [] if nk == 1 else [
         pltpu.VMEM((block_h, block_q, 128), jnp.float32),
@@ -352,15 +396,16 @@ BACKWARD_IMPL = "flash"
 
 
 def _flash_fwd(q, k, v, packed_spec, kv_valid_and_offset,
-               causal, scale, block_q, block_kv, block_h, interpret):
+               causal, scale, block_q, block_kv, block_h, interpret, plain):
     out = _flash_fwd_impl(
         q, k, v, packed_spec, kv_valid_and_offset,
-        causal, scale, block_q, block_kv, block_h, interpret,
+        causal, scale, block_q, block_kv, block_h, interpret, plain,
     )
     return out, (q, k, v, out, packed_spec, kv_valid_and_offset)
 
 
-def _flash_bwd(causal, scale, block_q, block_kv, block_h, interpret, res, g):
+def _flash_bwd(causal, scale, block_q, block_kv, block_h, interpret, plain,
+               res, g):
     q, k, v, out, packed_spec, kv_valid_and_offset = res
     img_start, txt_start, txt_end = packed_spec
     kv_valid, q_offset = kv_valid_and_offset
@@ -552,6 +597,9 @@ def flash_mma_attention(
         scale = d ** -0.5
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # full attention, nothing masked: eligible for the maskless fast path
+    # (key-pad masking rides the dot via the q/k bias lane)
+    plain = (not causal) and spec is None and kv_valid is None
     img_start, txt_start, txt_end, _ = _normalize_spec(spec, b)
     if kv_valid is None:
         kv_valid = jnp.ones((b, k.shape[1]), jnp.int32)
@@ -560,5 +608,5 @@ def flash_mma_attention(
         q, k, v, (img_start, txt_start, txt_end),
         (kv_valid.astype(jnp.int32), q_offset),
         causal, float(scale), int(block_q), int(block_kv), int(block_h),
-        bool(interpret),
+        bool(interpret), plain,
     )

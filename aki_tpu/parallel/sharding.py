@@ -102,15 +102,49 @@ def _fit_spec(spec: P, ndim: int, mesh: Mesh, shape) -> P:
     return P(*fixed)
 
 
-def param_shardings(params: Any, mesh: Mesh, rules=None):
-    """NamedSharding tree matching ``params``' structure."""
+def param_shardings(params: Any, mesh: Mesh, rules=None,
+                    memory_kind: str | None = None):
+    """NamedSharding tree matching ``params``' structure.
+
+    Works on any tree whose leaf paths *end with* a param path — optimizer
+    state (``.../mu/phi3/layers/wq``) matches the same rules because
+    :func:`spec_for_path` searches, so ZeRO-2 can shard Adam moments with
+    the full-shard rules while params use the stripped ones.
+    """
 
     def one(path, leaf):
         spec = spec_for_path(_path_str(path), rules)
         spec = _fit_spec(spec, leaf.ndim, mesh, leaf.shape)
-        return NamedSharding(mesh, spec)
+        if memory_kind is None:
+            return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, spec, memory_kind=memory_kind)
 
     return jax.tree_util.tree_map_with_path(one, params)
+
+
+def strip_axis_rules(axis: str = "fsdp", rules=None) -> list[tuple[str, P]]:
+    """Rules with ``axis`` removed from every spec (that dim replicates).
+
+    ZeRO-2 (reference ``SHARD_GRAD_OP``, ``train/distributed.py:198-199``):
+    params replicate over ``fsdp`` while gradients and optimizer state stay
+    fsdp-sharded — apply these rules to params, the originals to opt state.
+    """
+
+    def strip(spec: P) -> P:
+        parts = []
+        for part in spec:
+            if part == axis:
+                parts.append(None)
+            elif isinstance(part, tuple):
+                kept = tuple(a for a in part if a != axis)
+                parts.append(kept if kept else None)
+            else:
+                parts.append(part)
+        while parts and parts[-1] is None:
+            parts.pop()
+        return P(*parts)
+
+    return [(pat, strip(spec)) for pat, spec in (rules or PARAM_RULES)]
 
 
 def shard_params(params: Any, mesh: Mesh, rules=None):

@@ -54,6 +54,13 @@ class RunnerConfig:
     log_every: int = 10
     host_offload: bool = False         # saved activations -> pinned_host
                                        # (reference offload_to_cpu analogue)
+    fsdp_strategy: str = "full"        # "full" (ZeRO-3) | "grad_op" (ZeRO-2:
+                                       # params replicated over fsdp, grads +
+                                       # optimizer state sharded; reference
+                                       # SHARD_GRAD_OP, distributed.py:198)
+    host_offload_params: bool = False  # params + opt state live pinned_host
+                                       # between steps (reference CPUOffload
+                                       # offload_params, distributed.py:207)
     pp_microbatches: int | None = None  # pipeline microbatches (mesh.pipe>1)
     moe_aux_weight: float = 0.01       # Switch aux-loss weight (MoE decoder)
 
@@ -85,7 +92,28 @@ class Trainer:
         params = init_params if init_params is not None else init_aki(
             jax.random.PRNGKey(run_cfg.seed), model_cfg
         )
-        params = shard_params(params, self.mesh, rules=rules)
+        if run_cfg.fsdp_strategy not in ("full", "grad_op"):
+            raise ValueError(
+                f"fsdp_strategy must be 'full' or 'grad_op', got "
+                f"{run_cfg.fsdp_strategy!r}"
+            )
+        zero2 = run_cfg.fsdp_strategy == "grad_op"
+        grad_shardings = param_out_shardings = None
+        if zero2:
+            from ..parallel.sharding import (
+                param_shardings, strip_axis_rules,
+            )
+
+            # ZeRO-2: params replicate over fsdp (keep tensor/expert
+            # splits); grads + Adam moments shard with the FULL rules
+            stripped = strip_axis_rules("fsdp", rules)
+            params = shard_params(params, self.mesh, rules=stripped)
+            grad_shardings = param_shardings(params, self.mesh, rules=rules)
+            param_out_shardings = param_shardings(
+                params, self.mesh, rules=stripped
+            )
+        else:
+            params = shard_params(params, self.mesh, rules=rules)
         schedule = make_schedule(
             run_cfg.lr_schedule, run_cfg.learning_rate, run_cfg.min_lr,
             run_cfg.warmup_steps, run_cfg.total_steps,
@@ -98,6 +126,39 @@ class Trainer:
             grad_clip=run_cfg.grad_clip, decay_predicate=decay,
         )
         self.state = TrainState.create(params, self.optimizer)
+        if zero2:
+            # moments/grads shard over fsdp even though params replicate:
+            # re-place the freshly-initialized opt state with the full
+            # (ZeRO-3) rules — opt-state leaf paths end with the param
+            # path, so the same rule table matches
+            from ..parallel.sharding import param_shardings as _ps
+
+            self.state = dataclasses.replace(
+                self.state,
+                opt_state=jax.device_put(
+                    self.state.opt_state,
+                    _ps(self.state.opt_state, self.mesh, rules=rules),
+                ),
+            )
+        state_memory_shardings = None
+        if run_cfg.host_offload_params:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            def mesh_sharding(x):
+                # optax count scalars come back single-device-committed;
+                # normalize everything onto the mesh (replicated) so the
+                # jitted step sees one device set
+                s = getattr(x, "sharding", None)
+                if isinstance(s, jax.sharding.NamedSharding):
+                    return s
+                return NamedSharding(self.mesh, PartitionSpec())
+
+            dev = jax.tree.map(mesh_sharding, self.state)
+            host = jax.tree.map(
+                lambda s: s.with_memory_kind("pinned_host"), dev
+            )
+            state_memory_shardings = (dev, host)
+            self.state = jax.device_put(self.state, host)
         self.ckpt = CheckpointManager(
             run_cfg.run_dir, keep_last=run_cfg.keep_last_checkpoints
         )
@@ -122,9 +183,25 @@ class Trainer:
                 sp_mesh=sp_mesh, pp_mesh=pp_mesh,
                 pp_microbatches=run_cfg.pp_microbatches,
                 moe_aux_weight=run_cfg.moe_aux_weight, ep_mesh=ep_mesh,
+                grad_shardings=grad_shardings,
+                param_shardings=param_out_shardings,
             ),
             donate_argnums=(0,),
         )
+        if state_memory_shardings is not None:
+            # params + optimizer state live in PINNED HOST between steps
+            # (reference CPUOffload(offload_params=True)); residency moves
+            # around the jit — memory-kind-annotated jit outputs are not
+            # supported on every XLA backend
+            dev_tree, host_tree = state_memory_shardings
+            inner = self.step_fn
+
+            def offloaded_step(state, batch):
+                state = jax.device_put(state, dev_tree)
+                new_state, m = inner(state, batch)
+                return jax.device_put(new_state, host_tree), m
+
+            self.step_fn = offloaded_step
         self.metrics = MetricsLogger(run_cfg.run_dir, is_main=self.is_main)
         self._bsharding = batch_sharding(self.mesh)
 
@@ -133,6 +210,8 @@ class Trainer:
             # multi-dataset step: one batch per dataset (train_utils.py:215)
             return tuple(self.put_batch(b) for b in np_batch)
         lw = getattr(np_batch, "loss_weight", 1.0)
+        if lw is None:   # Batch-typed inputs carry None for "no multiplier"
+            lw = 1.0
         batch = Batch(
             input_ids=np_batch.input_ids, images=np_batch.images,
             attn_valid=np_batch.attn_valid, labels=np_batch.labels,

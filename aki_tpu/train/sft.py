@@ -57,6 +57,8 @@ def main(argv=None):
         training_mode=tc.get("training_mode", "sft_scratch"),
         log_every=tc.get("log_every", 10),
         host_offload=tc.get("host_offload", False),
+        fsdp_strategy=tc.get("fsdp_strategy", "full"),
+        host_offload_params=tc.get("host_offload_params", False),
         pp_microbatches=tc.get("pp_microbatches"),
         moe_aux_weight=tc.get("moe_aux_weight", 0.01),
     )

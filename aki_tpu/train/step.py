@@ -110,8 +110,23 @@ def make_train_step(
     pp_microbatches=None,
     moe_aux_weight: float = 0.01,
     ep_mesh=None,
+    grad_shardings=None,
+    param_shardings=None,
 ) -> Callable[[TrainState, Batch], tuple[TrainState, dict]]:
-    """Build the (un-jitted) train step; jit with donate_argnums=(0,)."""
+    """Build the (un-jitted) train step; jit with donate_argnums=(0,).
+
+    ``grad_shardings``: optional NamedSharding tree (params structure) to
+    constrain gradients to — ZeRO-2 mode passes the full-shard (fsdp)
+    shardings here while params themselves replicate over fsdp, so XLA
+    reduce-scatters grads and runs a sharded optimizer update (reference
+    ``ShardingStrategy.SHARD_GRAD_OP``, ``train/distributed.py:198-199``).
+
+    Param/optimizer host offload (reference ``CPUOffload(offload_params)``,
+    ``distributed.py:207-210``) lives in the Trainer, which moves the
+    state pinned_host <-> device around this step — XLA's
+    memory-kind-annotated jit outputs are not supported on every backend,
+    so the residency transfers stay outside the jit.
+    """
     loss_fn = make_loss_fn(cfg, policy, remat, use_flash, order,
                            host_offload=host_offload, sp_mesh=sp_mesh,
                            pp_mesh=pp_mesh, pp_microbatches=pp_microbatches,
@@ -162,11 +177,22 @@ def make_train_step(
         else:
             loss, grads = compute(state.params, batch)
 
+        if grad_shardings is not None:
+            # ZeRO-2: grads reduce-scatter onto the fsdp axis; the Adam
+            # update then runs sharded against the fsdp-sharded moments,
+            # and apply_updates all-gathers the (small) updates back onto
+            # the replicated params — one gather per step, not per layer
+            grads = jax.lax.with_sharding_constraint(grads, grad_shardings)
         grad_norm = optax.global_norm(grads)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
         params = optax.apply_updates(state.params, updates)
+        if param_shardings is not None:
+            # pin the updated params back to their (ZeRO-2: fsdp-replicated)
+            # placement — without this GSPMD may propagate the sharded
+            # update layout into the new params
+            params = jax.lax.with_sharding_constraint(params, param_shardings)
         new_state = TrainState(
             params=params, opt_state=opt_state, step=state.step + 1
         )

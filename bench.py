@@ -135,7 +135,8 @@ def main():
 
         eng = ServingEngine(
             params, cfg, num_slots=BATCH, max_len=MAX_LEN,
-            prompt_bucket=TEXT_LEN, admit_batch=4, policy=policy,
+            prompt_bucket=TEXT_LEN, admit_batch=min(8, BATCH),
+            policy=policy, admit_policy="batched",
         )
         n_req = 2 * BATCH
         rng2 = np.random.RandomState(1)
@@ -150,13 +151,20 @@ def main():
                          int(rng2.randint(16, 48))))
         # compile all admission sizes + the decode chunk up front
         eng.warmup()
-        t0 = time.perf_counter()
-        handles = [eng.submit(r, im, max_new_tokens=m)
-                   for r, im, m in reqs]
-        eng.run_until_drained()
-        for h in handles:
-            h.result(timeout=5)
-        server_img_s = n_req / (time.perf_counter() - t0)
+        # fixed request schedule, 3 independent drains, report the MEDIAN
+        # (±15% host-contention variance was mistaken for an engine
+        # regression when the driver sampled a single bad run)
+        drains = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            handles = [eng.submit(r, im, max_new_tokens=m)
+                       for r, im, m in reqs]
+            eng.run_until_drained()
+            for h in handles:
+                h.result(timeout=5)
+            drains.append(n_req / (time.perf_counter() - t0))
+        server_img_s = float(np.median(drains))
+        server_note = "/".join(f"{d:.1f}" for d in sorted(drains))
 
     target = A100_BASELINE_IMG_S * TARGET_MULTIPLIER
     print(json.dumps({
@@ -166,7 +174,8 @@ def main():
             f"{'int8' if KV8 else 'bf16'} KV; "
             f"TTFT bs1 p50 = {p50:.1f} ms, p95 = {p95:.1f} ms"
             + (f"; server continuous-batching {server_img_s:.1f} img/s "
-               f"mixed arrivals" if server_img_s else "")
+               f"mixed arrivals (median of 3 drains: {server_note})"
+               if server_img_s else "")
             + ")"
         ),
         "value": round(img_s, 3),

@@ -210,3 +210,41 @@ def test_flash_bwd_matches_dense_bwd_matrix():
                 np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-4,
                 err_msg=f"case {i}",
             )
+
+
+def test_flash_plain_path_matches_dense():
+    """Full attention with no kv_valid hits the maskless fast path where
+    key-pad masking rides the q/k bias lane (SigLIP shapes: T=729 pads to
+    768, D=72 pads to 128 leaving a free lane)."""
+    rng = np.random.RandomState(9)
+    b, t, h, d = 2, 181, 4, 72   # t % 128 != 0 -> padded keys exist
+    q, k, v = rand_qkv(rng, b, t, t, h, d)
+    got = flash_mma_attention(q, k, v, causal=False, interpret=True)
+    want = dense_attention(q, k, v, causal=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    # d == d_pad leaves no free lane: must fall back to the masked kernel
+    q2, k2, v2 = rand_qkv(rng, b, t, t, h, 128)
+    got2 = flash_mma_attention(q2, k2, v2, causal=False, interpret=True)
+    want2 = dense_attention(q2, k2, v2, causal=False)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_flash_plain_grad_matches_dense():
+    rng = np.random.RandomState(10)
+    q, k, v = rand_qkv(rng, 1, 90, 90, 2, 24)
+
+    def lf(q, k, v):
+        o = flash_mma_attention(q, k, v, causal=False, interpret=True)
+        return jnp.sum(o * o)
+
+    def ld(q, k, v):
+        o = dense_attention(q, k, v, causal=False)
+        return jnp.sum(o * o)
+
+    gf = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(ld, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)

@@ -43,6 +43,10 @@ PP_MESHES = [
     ("pp2", MeshConfig(data=1, fsdp=1, tensor=1, pipe=2), 2),
     ("pp2_m4", MeshConfig(data=1, fsdp=1, tensor=1, pipe=2), 4),
     ("dp2_pp2", MeshConfig(data=2, fsdp=1, tensor=1, pipe=2), 2),
+    # stage-internal FSDP: weights shard over fsdp inside each stage and
+    # all-gather just-in-time per layer (pipeline v2)
+    ("fsdp2_pp2", MeshConfig(data=1, fsdp=2, tensor=1, pipe=2), 2),
+    ("dp2_fsdp2_pp2", MeshConfig(data=2, fsdp=2, tensor=1, pipe=2), 2),
 ]
 
 
@@ -118,3 +122,72 @@ def test_pp_step_matches_unsharded(name, mesh_cfg, m):
     loss, wq = pp_run()
     np.testing.assert_allclose(loss, ref_loss, rtol=2e-4, err_msg=name)
     np.testing.assert_allclose(wq, ref_wq, rtol=1e-3, atol=1e-5, err_msg=name)
+
+
+def test_pp_moe_aux_matches_unsharded():
+    """MoE decoder through the pipeline: the Switch aux loss flows with the
+    microbatch payload and the total (CE + weighted aux) matches the
+    unpipelined MoE step (pipeline v2; v1 silently dropped aux)."""
+    import dataclasses
+
+    from aki_tpu.models.configs import MoEConfig
+
+    cfg = dataclasses.replace(
+        CFG, phi3=dataclasses.replace(
+            CFG.phi3,
+            moe=MoEConfig(num_experts=4, top_k=2, intermediate_size=32,
+                          capacity_factor=2.0),
+        ),
+    )
+    params0 = init_aki(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    batch0 = make_batch(rng)
+    opt = optax.sgd(1e-2)
+
+    def baseline():
+        state = TrainState.create(jax.tree.map(jnp.copy, params0), opt)
+        step = jax.jit(make_train_step(cfg, opt, policy=F32, use_flash=False,
+                                       moe_aux_weight=0.05))
+        state, metrics = step(state, batch0)
+        return (float(metrics["loss"]),
+                np.asarray(state.params["phi3"]["layers"]["moe"]["w_gate"]))
+
+    def pp_run():
+        mesh = create_mesh(MeshConfig(data=2, fsdp=1, tensor=1, pipe=2))
+        params = shard_params(
+            jax.tree.map(jnp.copy, params0), mesh, rules=pp_param_rules()
+        )
+        state = TrainState.create(params, opt)
+        batch = jax.device_put(batch0, batch_sharding(mesh))
+        step = jax.jit(make_train_step(
+            cfg, opt, policy=F32, use_flash=False,
+            pp_mesh=mesh, pp_microbatches=2, moe_aux_weight=0.05,
+        ))
+        state, metrics = step(state, batch)
+        return (float(metrics["loss"]),
+                np.asarray(state.params["phi3"]["layers"]["moe"]["w_gate"]))
+
+    ref_loss, ref_w = baseline()
+    loss, w = pp_run()
+    np.testing.assert_allclose(loss, ref_loss, rtol=2e-4)
+    np.testing.assert_allclose(w, ref_w, rtol=1e-3, atol=1e-5)
+
+
+def test_pp_config_errors_are_valueerrors():
+    """User-reachable config mistakes raise ValueError (not bare asserts
+    that vanish under python -O)."""
+    from aki_tpu.models.common import F32 as F32p
+    from aki_tpu.parallel.pipeline import phi3_forward_pp
+
+    mesh = create_mesh(MeshConfig(data=1, fsdp=1, tensor=4, pipe=2))
+    x = jnp.zeros((4, 8, CFG.phi3.hidden_size))
+    pos = jnp.zeros((4, 8), jnp.int32)
+    params = init_aki(jax.random.PRNGKey(0), CFG)["phi3"]
+    with pytest.raises(ValueError, match="tensor"):
+        phi3_forward_pp(params, CFG.phi3, x, pos, None,
+                        jnp.ones((4, 8), jnp.int32), mesh)
+    mesh2 = create_mesh(MeshConfig(data=1, fsdp=1, tensor=1, pipe=2))
+    with pytest.raises(ValueError, match="microbatches"):
+        phi3_forward_pp(params, CFG.phi3, x[:3], pos[:3], None,
+                        jnp.ones((3, 8), jnp.int32), mesh2,
+                        num_microbatches=2)
