@@ -35,6 +35,15 @@ from ..models.phi3 import KVCache, KVCacheQ, phi3_forward
 from .sampling import SamplingConfig, sample
 
 
+def padded_head_dim(params: dict, cfg: AKIConfig) -> int | None:
+    """dp when ``params`` carry the padded-head serving layout
+    (``quantize_params_padded``), else None — detected from wq's columns."""
+    w = params["phi3"]["layers"]["wq"]
+    cols = w.q.shape[-1] if hasattr(w, "q") else w.shape[-1]
+    dp = cols // cfg.phi3.num_heads
+    return dp if dp != cfg.phi3.head_dim else None
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class GenState:
@@ -65,6 +74,12 @@ def prefill(
     (``ops/decode_attention.py``) that never dequantizes into HBM.
     """
     b, t_txt = input_ids.shape
+    head_pad = padded_head_dim(params, cfg)
+    if head_pad is not None and not kv_int8:
+        raise ValueError(
+            "padded-head serving weights (quantize_params_padded) require "
+            "kv_int8=True"
+        )
     if vision_tokens is None:
         vision_tokens = encode_vision(params, cfg, images, policy,
                                       tp_mesh=tp_mesh)
@@ -77,7 +92,7 @@ def prefill(
     assert max_len >= t_full, "cache shorter than prompt"
 
     if kv_int8:
-        cache = KVCacheQ.create(cfg.phi3, b, max_len)
+        cache = KVCacheQ.create(cfg.phi3, b, max_len, head_pad=head_pad)
     else:
         cache = KVCache.create(cfg.phi3, b, max_len, dtype=policy.compute_dtype)
     kv_valid = jnp.zeros((b, max_len), jnp.int32)

@@ -50,6 +50,13 @@ class Request:
     max_new_tokens: int = 128
     eos_id: int | None = None
     _result: "queue.Queue" = dataclasses.field(default_factory=queue.Queue)
+    # device copy, uploaded asynchronously at submit() so the H2D transfer
+    # overlaps in-flight compute instead of stalling admission
+    _image_dev: object = None
+    # tokens live on the REQUEST (not the slot): a slot can be reassigned
+    # while this request's final chunk is still in flight
+    _tokens: list = dataclasses.field(default_factory=list)
+    _dispatched: int = 0           # decode steps dispatched so far
 
     def result(self, timeout=None) -> list[int]:
         return self._result.get(timeout=timeout)
@@ -61,7 +68,8 @@ class ServingEngine:
                  admit_batch: int = 4, decode_chunk: int = 8,
                  policy: Policy = Policy(param_dtype=jnp.bfloat16),
                  sampling: SamplingConfig = SamplingConfig(),
-                 kv_int8: bool = False, admit_policy: str = "greedy"):
+                 kv_int8: bool = False, admit_policy: str = "greedy",
+                 prompt_buckets: tuple[int, ...] | None = None):
         if admit_policy not in ("greedy", "batched"):
             raise ValueError(f"admit_policy {admit_policy!r}")
         self.params = params
@@ -73,6 +81,16 @@ class ServingEngine:
         self.prompt_bucket = prompt_bucket
         self.admit_batch = max(1, min(admit_batch, num_slots))
         self.decode_chunk = max(1, decode_chunk)
+        # Prompt-length buckets (ascending): an admission runs its prefill
+        # at the smallest bucket covering the batch's longest prompt — a
+        # 256-token prefill is ~60% the chip time of the 512 one, and real
+        # traffic skews short. Default: the single ``prompt_bucket``.
+        self.prompt_buckets = tuple(sorted(
+            prompt_buckets or (prompt_bucket,)
+        ))
+        if self.prompt_buckets[-1] != prompt_bucket:
+            raise ValueError("largest prompt_buckets entry must equal "
+                             f"prompt_bucket ({prompt_bucket})")
         # "greedy": admit into every free slot immediately (best TTFT).
         # "batched": under backlog, hold admission until a full
         # ``admit_batch`` of slots is free — a bs-8 prefill is ~2x the MXU
@@ -100,15 +118,33 @@ class ServingEngine:
                 (num_slots, cfg.output_vocab), jnp.float32
             ),
         )
+        s = cfg.siglip.image_size
+        self._zero_img = jax.device_put(np.zeros((s, s, 3), np.float32))
         # host bookkeeping
         self.slot_req: list[Request | None] = [None] * num_slots
-        self.slot_tokens: list[list[int]] = [[] for _ in range(num_slots)]
         self.queue: "queue.Queue[Request]" = queue.Queue()
         self._rng = jax.random.PRNGKey(0)
+        # lag-1 chunks in flight: [(device toks, slot->request snapshot at
+        # dispatch time)]. The host fetches chunk N's tokens while the
+        # device executes chunk N+1 — the per-chunk tunnel round-trip
+        # (~30 ms) and all bookkeeping hide behind compute.
+        self._pending: list = []
 
         self._prefill_batch = jax.jit(self._prefill_batch_impl)
         self._insert = jax.jit(self._insert_impl, donate_argnums=(0,))
-        self._decode = jax.jit(self._decode_impl, donate_argnums=(1,))
+        # one jitted decode per chunk length (budget-aware chunking sizes
+        # each chunk to the next completion boundary)
+        self._decode_fns: dict[int, object] = {}
+
+    def _get_decode(self, n: int):
+        if n not in self._decode_fns:
+            import functools
+
+            self._decode_fns[n] = jax.jit(
+                functools.partial(self._decode_impl, length=n),
+                donate_argnums=(1,),
+            )
+        return self._decode_fns[n]
 
     # -- jitted device functions ---------------------------------------------
     def _prefill_batch_impl(self, params, ids, img, valid):
@@ -141,7 +177,8 @@ class ServingEngine:
         return GenState(cache=cache, kv_valid=kv_valid,
                         lengths=lengths, last_logits=last_logits)
 
-    def _decode_impl(self, params, state: GenState, active, key):
+    def _decode_impl(self, params, state: GenState, active, key,
+                     length: int | None = None):
         def one(carry, _):
             st, k = carry
             k, sub = jax.random.split(k)
@@ -169,47 +206,58 @@ class ServingEngine:
             return (merged, k), tok
 
         (state, _), toks = jax.lax.scan(
-            one, (state, key), None, length=self.decode_chunk
+            one, (state, key), None,
+            length=self.decode_chunk if length is None else length,
         )
-        return state, toks  # toks: (decode_chunk, num_slots)
+        return state, toks  # toks: (length, num_slots)
 
     # -- host API ---------------------------------------------------------------
     def warmup(self):
         """Compile every device function ahead of serving: the decode chunk
-        and one prefill+insert per power-of-two admission size. Through a
-        tunneled runtime each compile is tens of seconds — production
-        engines pay this at startup, never mid-traffic."""
-        t = self.prompt_bucket
+        and one prefill+insert per (power-of-two admission size x prompt
+        bucket). Through a tunneled runtime each compile is tens of
+        seconds — production engines pay this at startup, never
+        mid-traffic."""
         s = self.cfg.siglip.image_size
-        b = 1
+        for t in self.prompt_buckets:
+            b = 1
+            while True:
+                ids = np.full((b, t), self.cfg.pad_token_id, np.int32)
+                valid = np.zeros((b, t), np.int32)
+                valid[:, 0] = 1
+                imgs = jnp.stack([self._zero_img] * b)
+                slot_idx = np.full((b,), self.num_slots, np.int32)  # drop
+                new = self._prefill_batch(
+                    self.params, jnp.array(ids), imgs, jnp.array(valid)
+                )
+                self.state = self._insert(self.state, new, jnp.array(slot_idx))
+                del new
+                # serialize: with async dispatch every warmup size's
+                # prefill state would be live at once (HBM OOM at 4B)
+                np.asarray(self.state.lengths)
+                if b >= self.admit_batch:
+                    break
+                b = min(b * 2, self.admit_batch)
+        # all power-of-two chunk lengths up to decode_chunk
+        n = 1
         while True:
-            ids = np.full((b, t), self.cfg.pad_token_id, np.int32)
-            valid = np.zeros((b, t), np.int32)
-            valid[:, 0] = 1
-            imgs = np.zeros((b, s, s, 3), np.float32)
-            slot_idx = np.full((b,), self.num_slots, np.int32)  # all drop
-            new = self._prefill_batch(
-                self.params, jnp.array(ids), jnp.array(imgs), jnp.array(valid)
+            self._rng, sub = jax.random.split(self._rng)
+            self.state, toks = self._get_decode(n)(
+                self.params, self.state,
+                jnp.zeros((self.num_slots,), bool), sub,
             )
-            self.state = self._insert(self.state, new, jnp.array(slot_idx))
-            del new
-            # serialize: with async dispatch every warmup size's prefill
-            # state would be live at once (HBM OOM at 4B geometry)
-            np.asarray(self.state.lengths)
-            if b >= self.admit_batch:
+            np.asarray(toks)
+            if n >= self.decode_chunk:
                 break
-            b = min(b * 2, self.admit_batch)
-        self._rng, sub = jax.random.split(self._rng)
-        self.state, toks = self._decode(
-            self.params, self.state,
-            jnp.zeros((self.num_slots,), bool), sub,
-        )
-        np.asarray(toks)
+            n = min(n * 2, self.decode_chunk)
 
     def submit(self, input_ids: list[int], image: np.ndarray,
                max_new_tokens: int = 128, eos_id: int | None = None) -> Request:
         req = Request(input_ids=list(input_ids), image=image,
                       max_new_tokens=max_new_tokens, eos_id=eos_id)
+        # async H2D now: the transfer rides behind whatever the chip is
+        # executing; admission later stacks committed device arrays
+        req._image_dev = jax.device_put(np.asarray(image, np.float32))
         self.queue.put(req)
         return req
 
@@ -227,32 +275,36 @@ class ServingEngine:
         while b < len(reqs):
             b *= 2
         b = min(b, self.admit_batch)
-        t = self.prompt_bucket
-        s = self.cfg.siglip.image_size
+        # smallest bucket covering the batch's longest prompt
+        need = max(min(len(r.input_ids), self.prompt_bucket) for r in reqs)
+        t = next(bk for bk in self.prompt_buckets if bk >= need)
         ids = np.full((b, t), self.cfg.pad_token_id, np.int32)
         valid = np.zeros((b, t), np.int32)
-        imgs = np.zeros((b, s, s, 3), np.float32)
         slot_idx = np.full((b,), self.num_slots, np.int32)  # OOB -> drop
+        img_rows = []
         for r, (slot, req) in enumerate(zip(slots, reqs)):
             n = min(len(req.input_ids), t)
             ids[r, :n] = req.input_ids[:n]
             valid[r, :n] = 1
-            imgs[r] = req.image
+            img_rows.append(req._image_dev if req._image_dev is not None
+                            else jnp.asarray(req.image, jnp.float32))
             slot_idx[r] = slot
         # dummy rows still need one valid token (prefill assumes non-empty)
         for r in range(len(reqs), b):
             valid[r, 0] = 1
+            img_rows.append(self._zero_img)
+        imgs = jnp.stack(img_rows)   # device-side stack of committed rows
         new = self._prefill_batch(
-            self.params, jnp.array(ids), jnp.array(imgs), jnp.array(valid)
+            self.params, jnp.array(ids), imgs, jnp.array(valid)
         )
         self.state = self._insert(self.state, new, jnp.array(slot_idx))
         for slot, req in zip(slots, reqs):
             self.slot_req[slot] = req
-            self.slot_tokens[slot] = []
+            req._tokens = []
+            req._dispatched = 0
 
-    def step(self) -> int:
-        """Admit queued requests into free slots (batched), run one decode
-        step. Returns the number of active slots."""
+    def _admit_free(self):
+        """Fill free slots from the queue (subject to admit_policy)."""
         free = [i for i, r in enumerate(self.slot_req) if r is None]
         n_active = self.num_slots - len(free)
         hold = (
@@ -272,37 +324,93 @@ class ServingEngine:
             if take_reqs:
                 self._admit_many(take_slots, take_reqs)
 
-        active_mask = np.array(
-            [r is not None for r in self.slot_req], dtype=bool
-        )
-        if not active_mask.any():
-            return 0
-
-        self._rng, sub = jax.random.split(self._rng)
-        self.state, toks = self._decode(
-            self.params, self.state, jnp.array(active_mask), sub
-        )
-        toks = np.asarray(toks)  # (decode_chunk, num_slots) — ONE host sync
+    def _process_chunk(self, toks: np.ndarray, snapshot: list):
+        """Account one fetched chunk against the slot->request bindings
+        that were live when it was dispatched (the live slot may already
+        hold a NEWER request — early slot release)."""
         for slot in range(self.num_slots):
-            req = self.slot_req[slot]
-            if req is None:
-                continue
+            req = snapshot[slot]
+            if req is None or req._result.qsize():
+                continue   # empty slot, or request already completed
             for k in range(toks.shape[0]):
+                if len(req._tokens) >= req.max_new_tokens:
+                    break
                 t = int(toks[k, slot])
                 done = (req.eos_id is not None and t == req.eos_id)
                 if not done:
-                    self.slot_tokens[slot].append(t)
-                if done or len(self.slot_tokens[slot]) >= req.max_new_tokens:
-                    # tokens past eos/budget within the chunk are garbage
-                    # the device kept decoding; drop them
-                    req._result.put(self.slot_tokens[slot])
-                    self.slot_req[slot] = None
+                    req._tokens.append(t)
+                if done or len(req._tokens) >= req.max_new_tokens:
+                    req._result.put(req._tokens)
+                    if self.slot_req[slot] is req:
+                        self.slot_req[slot] = None
                     break
-        return int(active_mask.sum())
+
+    def _flush_pending(self):
+        while self._pending:
+            toks, snapshot = self._pending.pop(0)
+            self._process_chunk(np.asarray(toks), snapshot)
+
+    def step(self) -> int:
+        """One scheduler tick — budget-aware chunking, lag-1 asynchrony:
+
+        1. admit queued requests into free slots (their prefill+insert
+           enqueue ahead of this tick's chunk, so newcomers decode in it);
+        2. size the chunk to the next completion boundary: every request's
+           ``max_new_tokens`` is known, so the chunk ends exactly when the
+           first active request exhausts its budget (pow-2 bucketed; eos
+           can still end a request earlier — those tokens are dropped at
+           accounting, same as before);
+        3. dispatch; requests whose budget is now fully dispatched release
+           their slot IMMEDIATELY when they have no eos (their completion
+           is deterministic) — the next tick readmits into the slot while
+           this chunk is still executing on device (the insert enqueues
+           after it, so the overwrite is ordered);
+        4. fetch + account the PREVIOUS chunk while this one runs (the
+           per-chunk tunnel round-trip hides behind compute).
+
+        Returns the number of active slots at dispatch time.
+        """
+        if not any(r is not None for r in self.slot_req):
+            # idle: account stragglers so their slots free for admission
+            self._flush_pending()
+        self._admit_free()
+
+        remaining = [
+            (req.max_new_tokens - req._dispatched) if req is not None else 0
+            for req in self.slot_req
+        ]
+        active = [r > 0 for r in remaining]
+        n_active = sum(active)
+        if n_active:
+            # fixed-size chunks: sizing chunks to completion boundaries
+            # fragments them (measured 36 tiny chunks/drain, each paying
+            # ~50 ms dispatch+RTT through the tunnel). Overshoot steps
+            # past a request's budget are free — decode cost is weight-
+            # read bound and flat in the active count — and accounting
+            # drops the garbage tokens.
+            n = self.decode_chunk
+            self._rng, sub = jax.random.split(self._rng)
+            self.state, toks = self._get_decode(n)(
+                self.params, self.state, jnp.array(active), sub
+            )
+            snapshot = list(self.slot_req)
+            for slot, req in enumerate(self.slot_req):
+                if req is not None and active[slot]:
+                    req._dispatched += n
+                    if (req._dispatched >= req.max_new_tokens
+                            and req.eos_id is None):
+                        # deterministic completion: free the slot now;
+                        # accounting still runs against the snapshot
+                        self.slot_req[slot] = None
+            self._flush_pending()
+            self._pending.append((toks, snapshot))
+        else:
+            self._flush_pending()
+        return n_active
 
     def run_until_drained(self, max_steps: int = 100000):
         steps = 0
-        while (not self.queue.empty() or any(
+        while (not self.queue.empty() or self._pending or any(
             r is not None for r in self.slot_req
         )) and steps < max_steps:
             self.step()

@@ -76,9 +76,13 @@ class KVCacheQ:
     vs: jax.Array  # f32
 
     @staticmethod
-    def create(cfg: Phi3Config, batch: int, max_len: int):
-        shape = (cfg.num_layers, batch, max_len,
-                 cfg.num_kv_heads * cfg.head_dim)
+    def create(cfg: Phi3Config, batch: int, max_len: int,
+               head_pad: int | None = None):
+        """``head_pad``: per-head row width for the padded-head serving
+        layout (quantize_params_padded) — int8 rows at 128-aligned heads
+        are still 33% smaller than unpadded bf16."""
+        d = head_pad or cfg.head_dim
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads * d)
         sshape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len)
         return KVCacheQ(
             k=jnp.zeros(shape, jnp.int8), ks=jnp.ones(sshape, jnp.float32),
@@ -88,6 +92,20 @@ class KVCacheQ:
     @property
     def max_len(self) -> int:
         return self.k.shape[2]
+
+
+def _pad_rope_tables(cos: jax.Array, sin: jax.Array, d: int, dp: int):
+    """(… , d) rope tables -> (…, dp) for the padded-head layout: each
+    rotary half pads independently so rotate-half at dp/2 maps real lanes
+    onto real lanes (pad lanes carry zeros in the activations, so the pad
+    table values are irrelevant — zeros keep them exactly zero)."""
+    half, ph = d // 2, dp // 2
+
+    def pad1(tab):
+        z = jnp.zeros(tab.shape[:-1] + (ph - half,), tab.dtype)
+        return jnp.concatenate([tab[..., :half], z, tab[..., half:], z], -1)
+
+    return pad1(cos), pad1(sin)
 
 
 def init_phi3(key, cfg: Phi3Config, dtype=jnp.float32) -> Params:
@@ -196,6 +214,70 @@ def _attention_layer(
     nh, nkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     h = rmsnorm(lp["ln1"], x, eps)
+
+    wq = lp.get("wq")
+    wq_cols = (wq.q.shape[-1] if hasattr(wq, "q") else wq.shape[-1]) \
+        if wq is not None else nh * dh
+    dp = wq_cols // nh
+    if dp != dh:
+        # FLAT padded-head serving layout (quantize_params_padded): each
+        # head owns dp (128-aligned) lanes straight out of the projection
+        # matmuls — no pad/transpose relayouts around the attention kernel
+        # (measured ~3 ms/layer at AKI-4B prefill), and the int8 KV cache
+        # stores 128-aligned flat rows the decode kernel reads natively.
+        if cache_kv is None or cache_kv[0] != "q8" or nkv != nh:
+            raise ValueError(
+                "padded-head (flat) weights require the int8-KV serving "
+                "path (kv_int8=True / KVCacheQ cache) and MHA (nkv == nh)"
+            )
+        from ..ops import decode_attention as da
+        from ..ops.flash_mma import flash_mma_attention_flat
+
+        _, ck8, cks, cv8, cvs, li, wpos = cache_kv
+        q4 = mm(h, lp["wq"]).reshape(b, t, nh, dp)
+        k4 = mm(h, lp["wk"]).reshape(b, t, nkv, dp)
+        v4 = mm(h, lp["wv"]).reshape(b, t, nkv, dp)
+        cos_p, sin_p = _pad_rope_tables(cos, sin, dh, dp)
+        q4 = apply_rope(q4, cos_p, sin_p)
+        k4 = apply_rope(k4, cos_p, sin_p)
+        k8, ksc = da.quantize_kv_flat(k4)
+        v8, vsc = da.quantize_kv_flat(v4)
+        if t == 1:
+            ck8 = _scatter_flat(ck8, k8, li, wpos)
+            cks = _scatter_scale_hm(cks, ksc, li, wpos)
+            cv8 = _scatter_flat(cv8, v8, li, wpos)
+            cvs = _scatter_scale_hm(cvs, vsc, li, wpos)
+            lengths = jnp.broadcast_to(
+                jnp.asarray(q_offset, jnp.int32), (b,)
+            ) + 1
+            attn4 = da.decode_attention_flat_xla(
+                q4, ck8, cks, cv8, cvs, lengths, li, scale=dh ** -0.5,
+            )
+            attn_flat = attn4.reshape(b, 1, nh * dp)
+        else:
+            ck8 = jax.lax.dynamic_update_slice(ck8, k8[None], (li, 0, 0, 0))
+            cks = jax.lax.dynamic_update_slice(
+                cks, ksc.transpose(0, 2, 1)[None], (li, 0, 0, 0))
+            cv8 = jax.lax.dynamic_update_slice(cv8, v8[None], (li, 0, 0, 0))
+            cvs = jax.lax.dynamic_update_slice(
+                cvs, vsc.transpose(0, 2, 1)[None], (li, 0, 0, 0))
+            attn_flat = flash_mma_attention_flat(
+                q4.reshape(b, t, nh * dp), k4.reshape(b, t, nkv * dp),
+                v4.reshape(b, t, nkv * dp), num_heads=nh, head_dim=dh,
+                spec=spec,
+                kv_valid=kv_valid[:, :t] if kv_valid is not None else None,
+                q_offset=q_offset,
+            )
+        x = x + mm(attn_flat, lp["wo"])
+        h2 = rmsnorm(lp["ln2"], x, eps)
+        gate = mm(h2, lp["w_gate"])
+        up = mm(h2, lp["w_up"])
+        mlp = mm(
+            jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
+            lp["w_down"],
+        )
+        return x + mlp, (ck8, cks, cv8, cvs), jnp.zeros((), jnp.float32)
+
     if "wqkv" in lp:
         # serving-time fused QKV (quantize_params fuse=True): one
         # activation-quantize + one wide MXU dot

@@ -114,6 +114,70 @@ def take_columns(w, end: int):
     return w[..., :end]
 
 
+def pad_attention_heads(layers: dict, num_heads: int, head_dim: int,
+                        pad_to: int = 128) -> dict:
+    """Serving-layout prep: pad each attention head to ``pad_to`` lanes
+    INSIDE the projection weights, so q/k/v come out of their matmuls
+    already 128-aligned per head — the flash kernel then reads flat
+    (B, T, H*128) operands with aligned lane slices and the pad/transpose
+    relayouts around the pallas call disappear (measured ~3 ms/layer at
+    AKI-4B prefill shapes).
+
+    Layout per head (neox RoPE compatibility): the two rotary halves pad
+    independently — ``[q1 (d/2), 0.., q2 (d/2), 0..]`` — so rotate-half at
+    ``pad_to/2`` maps real lanes onto real lanes and pad lanes stay zero.
+    ``wv`` pads at the tail (no rope), and ``wo`` gains zero ROWS at the
+    pad lanes so it consumes the flat attention output directly.
+
+    Returns a dict with wq/wk/wv (in, H*pad_to) and wo (H*pad_to, out).
+    Extra MXU cost: +(pad_to/head_dim - 1) on the qkv column and wo row
+    dims (~+1.3 ms/layer int8 at 4B) — less than half the relayout saving.
+    """
+    h, d, L = num_heads, head_dim, layers["wq"].shape[0]
+    half, phalf = d // 2, pad_to // 2
+
+    def pad_rope_cols(w):  # (L, in, h*d) -> (L, in, h*pad_to), half-aligned
+        wh = w.reshape(L, w.shape[1], h, 2, half)
+        out = jnp.zeros((L, w.shape[1], h, 2, phalf), w.dtype)
+        out = out.at[..., :half].set(wh)
+        return out.reshape(L, w.shape[1], h * pad_to)
+
+    def pad_tail_cols(w):  # v: plain tail pad per head
+        wh = w.reshape(L, w.shape[1], h, d)
+        out = jnp.zeros((L, w.shape[1], h, pad_to), w.dtype)
+        out = out.at[..., :d].set(wh)
+        return out.reshape(L, w.shape[1], h * pad_to)
+
+    def pad_rows(w):       # wo: (L, h*d, out) -> (L, h*pad_to, out)
+        wh = w.reshape(L, h, d, w.shape[2])
+        out = jnp.zeros((L, h, pad_to, w.shape[2]), w.dtype)
+        out = out.at[:, :, :d].set(wh)
+        return out.reshape(L, h * pad_to, w.shape[2])
+
+    return {
+        "wq": pad_rope_cols(layers["wq"]),
+        "wk": pad_rope_cols(layers["wk"]),
+        "wv": pad_tail_cols(layers["wv"]),
+        "wo": pad_rows(layers["wo"]),
+    }
+
+
+def quantize_params_padded(params: dict, phi3_cfg, mode: str = "w8a8",
+                           pad_to: int = 128) -> dict:
+    """Serving prep: :func:`pad_attention_heads` on the decoder attention
+    weights, then :func:`quantize_params` — the engine detects the padded
+    layout from the weight shapes and runs the flat attention path."""
+    out = dict(params)
+    phi3 = dict(params["phi3"])
+    layers = dict(phi3["layers"])
+    layers.update(pad_attention_heads(
+        layers, phi3_cfg.num_heads, phi3_cfg.head_dim, pad_to=pad_to
+    ))
+    phi3["layers"] = layers
+    out["phi3"] = phi3
+    return quantize_params(out, mode=mode)
+
+
 def quantize_params(params: dict, mode: str = "w8",
                     fuse: bool = False, vision: bool = True) -> dict:
     """Quantize the big matmuls of a full AKI param tree for serving.

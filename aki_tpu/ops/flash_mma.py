@@ -225,6 +225,151 @@ def _kernel_1kv(
             o_ref[0, g] = jnp.where(live, acc / l, 0.0).astype(o_ref.dtype)
 
 
+def _kernel_1kv_flat(
+    # scalar prefetch (SMEM)
+    img_start_ref, txt_start_ref, txt_end_ref, q_offset_ref,
+    # inputs (VMEM tiles): flat (1, rows, block_h*dp)
+    q_ref, k_ref, v_ref, kv_valid_ref,
+    # output
+    o_ref,
+    *,
+    block_q: int,
+    block_kv: int,
+    block_h: int,
+    dp: int,
+    num_images: int,
+    causal: bool,
+):
+    """Single-KV-tile kernel over FLAT padded-head operands: each head
+    occupies ``dp`` (128-multiple) lanes of the last dim, so per-head
+    q/k/v are 128-ALIGNED lane slices of one (rows, block_h*dp) tile —
+    the (B,T,H,D)->(B,H,T,Dp) pad+transpose relayouts around the standard
+    kernel (measured ~3 ms/layer at AKI-4B prefill) do not exist.
+    Zero pad lanes contribute zero to the QK dot; V pad lanes come out
+    zero and the consumer (zero-padded wo rows) ignores them."""
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    q_offset = q_offset_ref[b]
+    q_start = qi * block_q + q_offset
+    ok = _mask_ok(
+        img_start_ref, txt_start_ref, txt_end_ref, kv_valid_ref,
+        b, q_start, 0, block_q, block_kv, num_images, causal,
+    )
+    neg = jnp.where(ok, 0.0, NEG_INF)
+
+    for g in range(block_h):
+        sl = slice(g * dp, (g + 1) * dp)
+        q = q_ref[0][:, sl]          # (block_q, dp), lane-aligned
+        k = k_ref[0][:, sl]
+        v = v_ref[0][:, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + neg
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        l = jnp.where(l == 0.0, 1.0, l)
+        live = m > NEG_INF * 0.5
+        o_ref[0, :, sl] = jnp.where(live, acc / l, 0.0).astype(o_ref.dtype)
+
+
+def flash_mma_attention_flat(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    head_dim: int,
+    spec: MMASpec | None = None,
+    kv_valid: jax.Array | None = None,
+    q_offset: jax.Array | int = 0,
+    causal: bool = True,
+    scale: float | None = None,
+    block_h: int = 8,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Flash MMA attention over the FLAT padded-head serving layout.
+
+    Args:
+        q/k/v: (B, T, H*DP) with DP = last_dim // num_heads a multiple of
+            128 (``models/quant.py:pad_attention_heads``); real head dims
+            sit in the low lanes of each DP block, pad lanes are zero.
+        head_dim: the REAL head dim (softmax scale is head_dim**-0.5, not
+            the padded width).
+        Other args as :func:`flash_mma_attention`.
+
+    Single-KV-tile only (AKI sequences); raises for T beyond one tile.
+    Inference path — no custom_vjp (training uses the standard kernel).
+    """
+    b, t, f = q.shape
+    dp = f // num_heads
+    if dp * num_heads != f or dp % 128:
+        raise ValueError(f"flat layout needs 128-multiple padded heads; "
+                         f"got last dim {f} for {num_heads} heads")
+    s_len = k.shape[1]
+    s_pad = ((s_len + 127) // 128) * 128
+    if s_pad > 1024 or t > 1024:
+        raise ValueError("flat path is single-KV-tile; sequence too long")
+    if scale is None:
+        scale = head_dim ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    img_start, txt_start, txt_end, n_img = _normalize_spec(spec, b)
+    if kv_valid is None:
+        kv_valid = jnp.ones((b, s_len), jnp.int32)
+    q_offset = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (b,))
+
+    qs = q * jnp.asarray(scale, q.dtype)
+    kt = _pad_to(k, s_pad, 1)
+    vt = _pad_to(v, s_pad, 1)
+    kv_valid_p = _pad_to(kv_valid.astype(jnp.int32), s_pad, 1)[:, None, :]
+
+    # t as q-rows: bf16 sublane tiling wants multiples of 16
+    t_pad = ((t + 15) // 16) * 16
+    qs = _pad_to(qs, t_pad, 1)
+
+    while num_heads % block_h:
+        block_h //= 2
+    grid = (b, num_heads // block_h, 1, 1)
+    kernel = functools.partial(
+        _kernel_1kv_flat,
+        block_q=t_pad, block_kv=s_pad, block_h=block_h, dp=dp,
+        num_images=n_img, causal=causal,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, t_pad, block_h * dp),
+                             lambda bb, hh, qi, kj, *_: (bb, 0, hh)),
+                pl.BlockSpec((1, s_pad, block_h * dp),
+                             lambda bb, hh, qi, kj, *_: (bb, 0, hh)),
+                pl.BlockSpec((1, s_pad, block_h * dp),
+                             lambda bb, hh, qi, kj, *_: (bb, 0, hh)),
+                pl.BlockSpec((1, 1, s_pad),
+                             lambda bb, hh, qi, kj, *_: (bb, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, t_pad, block_h * dp),
+                                   lambda bb, hh, qi, kj, *_: (bb, 0, hh)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, f), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(img_start, txt_start, txt_end, q_offset.astype(jnp.int32),
+      qs, kt, vt, kv_valid_p)
+    return out[:, :t]
+
+
 def _normalize_spec(spec, batch):
     if spec is None:
         z = jnp.zeros((batch, 1), jnp.int32)

@@ -44,7 +44,11 @@ TARGET_MULTIPLIER = 3.0
 
 BATCH = int(os.environ.get("AKI_BENCH_BATCH", "16"))
 QUANT = os.environ.get("AKI_BENCH_QUANT", "w8a8")
-KV8 = os.environ.get("AKI_BENCH_KV8", "0") == "1"
+# padded-head flat serving layout (quantize_params_padded): heads own 128
+# aligned lanes straight out of the projections — no relayouts around the
+# flash kernel, int8 flat-128 KV (forces KV8)
+PAD128 = os.environ.get("AKI_BENCH_PAD128", "0") == "1"
+KV8 = PAD128 or os.environ.get("AKI_BENCH_KV8", "0") == "1"
 TEXT_LEN = 512               # SFT max_length (configs/sft.yaml:21)
 DECODE_TOKENS = 32
 # 512 + 143 vision + decode room. The int8 decode kernel blocks the cache
@@ -66,11 +70,18 @@ def main():
         lambda k: init_aki(k, cfg, dtype=jnp.bfloat16)
     )(jax.random.PRNGKey(0))
     if QUANT in ("w8", "w8a8", "w4", "w4a8"):
-        from aki_tpu.models.quant import quantize_params
+        from aki_tpu.models.quant import (
+            quantize_params, quantize_params_padded,
+        )
 
-        params = jax.jit(
-            lambda p: quantize_params(p, mode=QUANT)
-        )(params)
+        if PAD128:
+            params = jax.jit(
+                lambda p: quantize_params_padded(p, cfg.phi3, mode=QUANT)
+            )(params)
+        else:
+            params = jax.jit(
+                lambda p: quantize_params(p, mode=QUANT)
+            )(params)
 
     rng = np.random.RandomState(0)
     ids = rng.randint(5, cfg.initial_tokenizer_len - 1, size=(BATCH, TEXT_LEN))
@@ -135,8 +146,8 @@ def main():
 
         eng = ServingEngine(
             params, cfg, num_slots=BATCH, max_len=MAX_LEN,
-            prompt_bucket=TEXT_LEN, admit_batch=min(8, BATCH),
-            policy=policy, admit_policy="batched",
+            prompt_bucket=TEXT_LEN, admit_batch=4,
+            policy=policy,
         )
         n_req = 2 * BATCH
         rng2 = np.random.RandomState(1)

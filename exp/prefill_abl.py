@@ -88,6 +88,41 @@ def make_fwd(attn="flash", rope=True, norm=True, cache=False, act="silu_f32"):
             elif attn == "plainflash":
                 from aki_tpu.ops.flash_mma import flash_mma_attention
                 a = flash_mma_attention(q, k, v, causal=False)
+            elif attn == "skip_qkept":
+                # keep q alive so XLA cannot DCE the wq matmul + rope
+                a = v + 1e-6 * q
+            elif attn == "idpallas":
+                # identical operand/result layouts to the flash wrapper,
+                # but the kernel is a copy: isolates integration cost
+                from jax.experimental import pallas as pl
+
+                def pad_to(x, size, axis):
+                    w = [(0, 0)] * x.ndim
+                    w[axis] = (0, size - x.shape[axis])
+                    return jnp.pad(x, w)
+
+                qt = pad_to(pad_to(q, 768, 1), 128, 3).transpose(0, 2, 1, 3)
+                kt = pad_to(pad_to(k, 768, 1), 128, 3).transpose(0, 2, 1, 3)
+                vt = pad_to(pad_to(v, 768, 1), 128, 3).transpose(0, 2, 1, 3)
+
+                def idk(q_ref, k_ref, v_ref, o_ref):
+                    o_ref[...] = (q_ref[...] + 1e-6 * k_ref[...]
+                                  + 1e-6 * v_ref[...])
+
+                bb, hh = qt.shape[0], qt.shape[1]
+                from jax.experimental.pallas import tpu as pltpu
+                o = pl.pallas_call(
+                    idk,
+                    grid=(bb, hh // 8),
+                    in_specs=[pl.BlockSpec((1, 8, 768, 128),
+                                           lambda i, j: (i, j, 0, 0))] * 3,
+                    out_specs=pl.BlockSpec((1, 8, 768, 128),
+                                           lambda i, j: (i, j, 0, 0)),
+                    out_shape=jax.ShapeDtypeStruct(qt.shape, qt.dtype),
+                    compiler_params=pltpu.CompilerParams(
+                        vmem_limit_bytes=100 * 1024 * 1024),
+                )(qt, kt, vt)
+                a = o.transpose(0, 2, 1, 3)[:, :t, :, :dh]
             else:
                 a = v
             x = x + mm(a.reshape(b, t, nh * dh), lp["wo"])
@@ -126,16 +161,18 @@ def main():
     kv_valid = jnp.ones((B, T), jnp.int32)
     cache = KVCache.create(CFG, B, 704)
 
+    only = os.environ.get("ONLY", "")
     for name, kw in [
         ("baseline (flash+rope+norm+cache, a8)", dict(cache=True)),
         ("no cache write", dict()),
         ("attn skipped", dict(attn="skip")),
         ("attn+rope skipped", dict(attn="skip", rope=False)),
         ("attn+rope+norm skipped", dict(attn="skip", rope=False, norm=False)),
-        ("attn flash block_q=256", dict(attn="flash_bq256")),
-        ("attn flash block_h=16", dict(attn="flash_bh16")),
-        ("attn flash plain-nomask (bound probe)", dict(attn="plainflash")),
+        ("attn skipped, q kept (true no-attn base)", dict(attn="skip_qkept")),
+        ("attn identity-pallas same layouts", dict(attn="idpallas")),
     ]:
+        if only and only not in name:
+            continue
         fwd = make_fwd(**kw)
         f = jax.jit(fwd)
         try:

@@ -248,3 +248,45 @@ def test_flash_plain_grad_matches_dense():
     for a, b_ in zip(gf, gd):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-4, atol=2e-4)
+
+
+def _flatten_padded(x, half_aligned, pad_to=128):
+    """(B,T,H,D) -> flat (B,T,H*pad_to) with the serving head-pad layout."""
+    b, t, h, d = x.shape
+    out = np.zeros((b, t, h, pad_to), np.float32)
+    if half_aligned:   # q/k: rope halves pad independently
+        out[..., : d // 2] = np.asarray(x[..., : d // 2])
+        out[..., pad_to // 2: pad_to // 2 + d // 2] = np.asarray(x[..., d // 2:])
+    else:              # v: tail pad
+        out[..., :d] = np.asarray(x)
+    return jnp.asarray(out.reshape(b, t, h * pad_to))
+
+
+def test_flash_flat_matches_dense():
+    """The flat padded-head serving kernel matches the dense oracle (and
+    the output sits in the tail-pad layout wo expects)."""
+    from aki_tpu.ops.flash_mma import flash_mma_attention_flat
+
+    rng = np.random.RandomState(11)
+    b, t, h, d = 2, 180, 4, 64
+    q, k, v = rand_qkv(rng, b, t, t, h, d)
+    spec = MMASpec(
+        img_start=jnp.zeros((b, 1), jnp.int32),
+        txt_start=jnp.full((b, 1), 40, jnp.int32),
+        txt_end=jnp.full((b, 1), t, jnp.int32),
+    )
+    kvv = np.ones((b, t), np.int32)
+    kvv[1, 150:] = 0
+    kvv = jnp.asarray(kvv)
+
+    qf = _flatten_padded(q, True)
+    kf = _flatten_padded(k, True)
+    vf = _flatten_padded(v, False)
+    got = flash_mma_attention_flat(
+        qf, kf, vf, num_heads=h, head_dim=d, spec=spec, kv_valid=kvv,
+        interpret=True,
+    )
+    got = np.asarray(got).reshape(b, t, h, 128)
+    want = np.asarray(dense_attention(q, k, v, spec=spec, kv_valid=kvv))
+    np.testing.assert_allclose(got[..., :d], want, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(got[..., d:], 0.0, atol=1e-7)
