@@ -61,8 +61,11 @@ class KVCacheQ:
     """Int8 KV cache in the flat layout (L, B, S, H_kv*D) — all heads of
     a token are one contiguous row, which is what lets the decode kernel
     do one block-diagonal MXU dot for all heads
-    (ops/decode_attention.py). Per-(token, head) scales are
-    (L, B, H_kv, S) f32.
+    (ops/decode_attention.py). Per-(token, head) scales are **token-major**
+    (L, B, S, H_kv) f32, so the per-step decode write of one token's
+    scales is a contiguous row scatter exactly like the int8 rows —
+    head-major (L, B, Hkv, S) made it a strided column write XLA could
+    not keep in place (~3 ms/step of copies at AKI-4B).
 
     Phi-3-mini is MHA (32 KV heads x 96 dims — ~196 KB/token in int8), so
     cache reads rival the weight reads at decode; int8 (nearly) halves
@@ -71,7 +74,7 @@ class KVCacheQ:
     """
 
     k: jax.Array   # int8 (L, B, S, Hkv*D)
-    ks: jax.Array  # f32  (L, B, Hkv, S)
+    ks: jax.Array  # f32  (L, B, S, Hkv)
     v: jax.Array   # int8
     vs: jax.Array  # f32
 
@@ -83,7 +86,7 @@ class KVCacheQ:
         are still 33% smaller than unpadded bf16."""
         d = head_pad or cfg.head_dim
         shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads * d)
-        sshape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len)
+        sshape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads)
         return KVCacheQ(
             k=jnp.zeros(shape, jnp.int8), ks=jnp.ones(sshape, jnp.float32),
             v=jnp.zeros(shape, jnp.int8), vs=jnp.ones(sshape, jnp.float32),
@@ -181,18 +184,6 @@ def _scatter_flat(cache: jax.Array, new: jax.Array, layer: jax.Array,
     )
 
 
-def _scatter_scale_hm(cache: jax.Array, new: jax.Array, layer: jax.Array,
-                      positions: jax.Array) -> jax.Array:
-    """Scatter (B, T, H) scales into (L, B, H, S)."""
-    b, t, h = new.shape
-    bidx = jnp.arange(b)[:, None, None]
-    hidx = jnp.arange(h)[None, :, None]
-    pidx = positions[:, None, :]
-    return cache.at[layer, bidx, hidx, pidx].set(
-        new.transpose(0, 2, 1).astype(cache.dtype), mode="drop"
-    )
-
-
 def _attention_layer(
     x: jax.Array,
     lp: Params,
@@ -244,9 +235,9 @@ def _attention_layer(
         v8, vsc = da.quantize_kv_flat(v4)
         if t == 1:
             ck8 = _scatter_flat(ck8, k8, li, wpos)
-            cks = _scatter_scale_hm(cks, ksc, li, wpos)
+            cks = _scatter_flat(cks, ksc, li, wpos)
             cv8 = _scatter_flat(cv8, v8, li, wpos)
-            cvs = _scatter_scale_hm(cvs, vsc, li, wpos)
+            cvs = _scatter_flat(cvs, vsc, li, wpos)
             lengths = jnp.broadcast_to(
                 jnp.asarray(q_offset, jnp.int32), (b,)
             ) + 1
@@ -257,10 +248,10 @@ def _attention_layer(
         else:
             ck8 = jax.lax.dynamic_update_slice(ck8, k8[None], (li, 0, 0, 0))
             cks = jax.lax.dynamic_update_slice(
-                cks, ksc.transpose(0, 2, 1)[None], (li, 0, 0, 0))
+                cks, ksc[None], (li, 0, 0, 0))
             cv8 = jax.lax.dynamic_update_slice(cv8, v8[None], (li, 0, 0, 0))
             cvs = jax.lax.dynamic_update_slice(
-                cvs, vsc.transpose(0, 2, 1)[None], (li, 0, 0, 0))
+                cvs, vsc[None], (li, 0, 0, 0))
             attn_flat = flash_mma_attention_flat(
                 q4.reshape(b, t, nh * dp), k4.reshape(b, t, nkv * dp),
                 v4.reshape(b, t, nkv * dp), num_heads=nh, head_dim=dh,
@@ -303,9 +294,9 @@ def _attention_layer(
         v8, vsc = da.quantize_kv_flat(v)
         if t == 1:
             ck8 = _scatter_flat(ck8, k8, li, wpos)
-            cks = _scatter_scale_hm(cks, ksc, li, wpos)
+            cks = _scatter_flat(cks, ksc, li, wpos)
             cv8 = _scatter_flat(cv8, v8, li, wpos)
-            cvs = _scatter_scale_hm(cvs, vsc, li, wpos)
+            cvs = _scatter_flat(cvs, vsc, li, wpos)
             # decode over the int8 cache: "xla" = int8 dot_general straight
             # against the stacked buffers (layer slice fuses into the dot);
             # "pallas" = the fused kernel indexing [li] in its BlockSpec
@@ -328,13 +319,13 @@ def _attention_layer(
                 ck8, k8[None], (li, 0, 0, 0)
             )
             cks = jax.lax.dynamic_update_slice(
-                cks, ksc.transpose(0, 2, 1)[None], (li, 0, 0, 0)
+                cks, ksc[None], (li, 0, 0, 0)
             )
             cv8 = jax.lax.dynamic_update_slice(
                 cv8, v8[None], (li, 0, 0, 0)
             )
             cvs = jax.lax.dynamic_update_slice(
-                cvs, vsc.transpose(0, 2, 1)[None], (li, 0, 0, 0)
+                cvs, vsc[None], (li, 0, 0, 0)
             )
             k_att, v_att = k, v
             kv_valid_att = kv_valid[:, :t] if kv_valid is not None else None

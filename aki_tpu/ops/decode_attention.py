@@ -37,6 +37,12 @@ Design (each point is a measured cliff, not a guess):
   f32 arrays (``q.(k8*s) == (q.k8)*s``; V scales fold into the
   probability rows before requantization).  FA2 online softmax across
   blocks.
+- **Token-major scale storage** ``(L, B, S, Hkv)``: decode writes one
+  token's scales as a contiguous row, exactly like the int8 rows. The
+  head-major ``(L, B, Hkv, S)`` layout made the per-step scale scatter
+  a strided column write that XLA could not keep in place — measured
+  ~3 ms/step of copy traffic at AKI-4B. Readers transpose the tiny
+  per-layer slice instead (~1.5 MB, fuses).
 
 Requires the cache length S to be a multiple of 128 (or a single block):
 the engine rounds ``max_len`` accordingly.
@@ -242,7 +248,7 @@ def _selector(kv_heads: int, head_dim: int) -> np.ndarray:
 def decode_attention_flat(
     q: jax.Array,           # (B, 1, H, D)
     k: jax.Array,           # (L, B, S, Hkv*D) int8 flat cache
-    ks: jax.Array,          # (L, B, Hkv, S) f32 per-(token, head) K scales
+    ks: jax.Array,          # (L, B, S, Hkv) f32 per-(token, head) K scales
     v: jax.Array,
     vs: jax.Array,
     lengths: jax.Array,     # (B,) live tokens incl. the just-written one
@@ -254,7 +260,7 @@ def decode_attention_flat(
     """Single-token attention over one layer of the flat int8 cache.
     Returns (B, 1, H, D)."""
     b, _, h, d = q.shape
-    hkv, s_len = ks.shape[2], ks.shape[3]
+    s_len, hkv = ks.shape[2], ks.shape[3]
     assert h % hkv == 0 and k.shape[-1] == hkv * d
     group = h // hkv
     if scale is None:
@@ -266,9 +272,11 @@ def decode_attention_flat(
     qb, qscale = build_qblock(q, hkv)
 
     # per-layer effective scales, (B, H, S) f32 (~1.5 MB at bs16 — cheap):
-    # ks_eff[b, h, s] = qscale[b, h] * ks[li, b, h // g, s]
-    ks_li = jax.lax.dynamic_index_in_dim(ks, layer, 0, keepdims=False)
-    vs_li = jax.lax.dynamic_index_in_dim(vs, layer, 0, keepdims=False)
+    # ks_eff[b, h, s] = qscale[b, h] * ks[li, b, s, h // g]
+    ks_li = jax.lax.dynamic_index_in_dim(
+        ks, layer, 0, keepdims=False).transpose(0, 2, 1)
+    vs_li = jax.lax.dynamic_index_in_dim(
+        vs, layer, 0, keepdims=False).transpose(0, 2, 1)
     if group > 1:
         ks_li = jnp.repeat(ks_li, group, axis=1)
         vs_li = jnp.repeat(vs_li, group, axis=1)
@@ -335,17 +343,17 @@ def decode_attention_flat(
 
 
 # Which int8-decode implementation the model uses. Measured on v5e (bs16,
-# 704-slot cache): "xla" reads the int8 cache at XLA streaming bandwidth
-# (~295 GB/s effective incl. the extra quant/scale VPU work -> 7.5 ms/step
-# vs 9.9 ms bf16); "pallas" (the fused kernel above) is capped by the
-# ~260 GB/s Pallas DMA ceiling of this stack and only reaches bf16 parity.
+# 768-slot cache): "xla" streams the int8 cache through bf16 dot_generals
+# with the int8->bf16 convert fused into the operand read; "pallas" (the
+# fused kernel above) is capped by the ~260 GB/s Pallas DMA ceiling of
+# this stack and only reaches bf16 parity.
 DECODE_IMPL = "xla"
 
 
 def decode_attention_flat_xla(
     q: jax.Array,           # (B, 1, H, D)
     k: jax.Array,           # (L, B, S, Hkv*D) int8 flat cache
-    ks: jax.Array,          # (L, B, Hkv, S) f32 per-(token, head) K scales
+    ks: jax.Array,          # (L, B, S, Hkv) f32 per-(token, head) K scales
     v: jax.Array,
     vs: jax.Array,
     lengths: jax.Array,     # (B,) live tokens incl. the just-written one
@@ -356,51 +364,69 @@ def decode_attention_flat_xla(
 
     Same contract (and the same block-diagonal math) as
     :func:`decode_attention_flat`, but expressed in XLA: the flat (B, S, F)
-    layer slice is consumed DIRECTLY by int8 x int8 ``dot_general``s
-    against a block-diagonal Q — never reshaped to (B, S, Hkv, D), which
-    would physically relayout the whole cache every layer (D=96 is not a
-    lane multiple; measured ~7 ms/layer of relayout). The wasted
-    off-diagonal MXU FLOPs are trivial (~0.4 ms/step for AKI-4B) while the
-    int8 bytes stream at XLA bandwidth instead of the Pallas DMA ceiling.
+    layer slice is consumed DIRECTLY by ``dot_general``s against a
+    block-diagonal Q — never reshaped to (B, S, Hkv, D), which would
+    physically relayout the whole cache every layer (D=96 is not a lane
+    multiple; measured ~7 ms/layer of relayout). The wasted off-diagonal
+    MXU FLOPs are trivial (~0.4 ms/step for AKI-4B) while the int8 bytes
+    stream at XLA bandwidth instead of the Pallas DMA ceiling.
+
+    The dots run in **bf16 with the int8 operand converted inline**: a
+    batched int8 x int8 ``dot_general`` lowers to a dilated convolution on
+    TPU that materializes the 37 MB layer slice to HBM first (measured
+    ~6 ms/step of extra traffic at AKI-4B inside the decode scan), while
+    the bf16 lowering fuses the dynamic-slice + convert into the operand
+    read. Decode is memory-bound, so bf16-vs-int8 MXU rate is irrelevant —
+    and skipping the q/probability requantization removes two of the three
+    quantization error sources (only the cache itself stays int8).
     Scales fold outside the contractions: K scales multiply the score
-    matrix elementwise; V scales fold into the probability rows, which are
-    then requantized per (batch, head) for the int8 PV dot.
+    matrix elementwise; V scales fold into the probability rows.
     """
     b, _, h, d = q.shape
-    hkv, s_len = ks.shape[2], ks.shape[3]
+    s_len, hkv = ks.shape[2], ks.shape[3]
     assert h % hkv == 0 and k.shape[-1] == hkv * d
     group = h // hkv
     f = hkv * d
     if scale is None:
         scale = d ** -0.5
 
-    qb, qscale = build_qblock(q, hkv)       # (B, H, F) int8, (B, H) f32
+    # block-diagonal bf16 Q: row h carries q[h] in column block h // group
+    sel_h = np.zeros((h, hkv), np.float32)
+    sel_h[np.arange(h), np.arange(h) // group] = 1.0
+    qb = (
+        q.reshape(b, h, d).astype(jnp.float32)[:, :, None, :]
+        * jnp.asarray(sel_h)[None, :, :, None]
+    ).reshape(b, h, f).astype(jnp.bfloat16)
 
     k_li = jax.lax.dynamic_index_in_dim(k, layer, 0, keepdims=False)
     v_li = jax.lax.dynamic_index_in_dim(v, layer, 0, keepdims=False)
-    ks_li = jax.lax.dynamic_index_in_dim(ks, layer, 0, keepdims=False)
-    vs_li = jax.lax.dynamic_index_in_dim(vs, layer, 0, keepdims=False)
+    # token-major (B, S, Hkv) scale slices -> (B, Hkv, S) for the
+    # elementwise folds (a ~1.5 MB transpose per layer; the token-major
+    # storage keeps the per-step scale WRITE a contiguous row scatter)
+    ks_li = jax.lax.dynamic_index_in_dim(
+        ks, layer, 0, keepdims=False).transpose(0, 2, 1)
+    vs_li = jax.lax.dynamic_index_in_dim(
+        vs, layer, 0, keepdims=False).transpose(0, 2, 1)
     if group > 1:
         ks_li = jnp.repeat(ks_li, group, axis=1)
         vs_li = jnp.repeat(vs_li, group, axis=1)
 
     s32 = jnp.einsum(
-        "bhf,bsf->bhs", qb, k_li, preferred_element_type=jnp.int32,
+        "bhf,bsf->bhs", qb, k_li.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
     )
-    s = s32.astype(jnp.float32) * ks_li * qscale[..., None] * scale
+    s = s32 * ks_li * scale
 
     col = jax.lax.broadcasted_iota(jnp.int32, (b, 1, s_len), 2)
     ok = col < lengths.astype(jnp.int32)[:, None, None]
     s = jnp.where(ok, s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)          # (B, H, S)
 
-    pv = p * vs_li
-    pmax = jnp.max(jnp.abs(pv), axis=-1, keepdims=True)
-    pscale = jnp.where(pmax == 0.0, 1.0, pmax / 127.0)
-    p8 = jnp.round(pv / pscale).astype(jnp.int8)
+    pv = (p * vs_li).astype(jnp.bfloat16)
     o_full = jnp.einsum(
-        "bhs,bsf->bhf", p8, v_li, preferred_element_type=jnp.int32,
-    ).astype(jnp.float32)                   # (B, H, F) — off-diag garbage
+        "bhs,bsf->bhf", pv, v_li.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )                                       # (B, H, F) — off-diag garbage
 
     row = jax.lax.broadcasted_iota(jnp.int32, (h, f), 0)
     colf = jax.lax.broadcasted_iota(jnp.int32, (h, f), 1)
@@ -408,7 +434,7 @@ def decode_attention_flat_xla(
         ((colf // d) == (row // group))[None], o_full, 0.0
     )
     sel = jnp.asarray(_selector(hkv, d))    # (F, D)
-    o = jnp.einsum("bhf,fd->bhd", o_masked, sel) * pscale
+    o = jnp.einsum("bhf,fd->bhd", o_masked, sel)
     return o.reshape(b, 1, h, d).astype(q.dtype)
 
 

@@ -19,17 +19,18 @@ CFG = aki_tiny()
 def _oracle(q, kf, ks, vf, vs, kv_valid, d):
     """Dense softmax over the dequantized flat cache (numpy, fp64).
 
-    q is fp — the kernel quantizes q and the probability rows to int8, so
-    comparisons use a tolerance.
+    q is fp — the Pallas kernel quantizes q and the probability rows to
+    int8, so comparisons use a tolerance. Scales are token-major
+    (B, S, Hkv), matching the cache contract.
     """
     b, _, h, _ = q.shape
-    hkv = ks.shape[1]
+    hkv = ks.shape[2]
     g = h // hkv
     s_len = kf.shape[1]
     k = kf.reshape(b, s_len, hkv, d).astype(np.float64)
     v = vf.reshape(b, s_len, hkv, d).astype(np.float64)
-    k = k * ks.transpose(0, 2, 1)[..., None]   # (B, S, Hkv, d)
-    v = v * vs.transpose(0, 2, 1)[..., None]
+    k = k * ks[..., None]                      # (B, S, Hkv, d)
+    v = v * vs[..., None]
     out = np.zeros((b, 1, h, d))
     for bi in range(b):
         for hi in range(h):
@@ -47,8 +48,6 @@ def _flat_cache(rng, b, s, hkv, d):
     v = rng.randn(b, s, hkv, d).astype(np.float32)
     kf, ks = quantize_kv_flat(jnp.asarray(k))   # (B, S, Hkv*DP), (B, S, Hkv)
     vf, vs = quantize_kv_flat(jnp.asarray(v))
-    ks = jnp.transpose(ks, (0, 2, 1))           # (B, Hkv, S)
-    vs = jnp.transpose(vs, (0, 2, 1))
     return kf, ks, vf, vs
 
 

@@ -170,12 +170,11 @@ def test_int8_decode_kernels_compiled():
     v = jnp.asarray(rng.randn(b, s, h, dh), jnp.bfloat16)
     lengths = jnp.asarray([700, 512, 256, 768], jnp.int32)
 
-    k8, ks = da.quantize_kv_flat(k.reshape(b, s, f))
-    v8, vs = da.quantize_kv_flat(v.reshape(b, s, f))
+    k8, ks = da.quantize_kv_flat(k)   # (B, S, F), (B, S, H) token-major
+    v8, vs = da.quantize_kv_flat(v)
     L = jnp.zeros((), jnp.int32)
     k8l, v8l = k8[None], v8[None]
-    ksl = ks.transpose(0, 2, 1)[None]
-    vsl = vs.transpose(0, 2, 1)[None]
+    ksl, vsl = ks[None], vs[None]
 
     kv_valid = (jnp.arange(s)[None] < lengths[:, None]).astype(jnp.int32)
     want = jax.jit(
