@@ -13,19 +13,22 @@ eager AKI-4B at bs8, ~35% MFU prefill + memory-bound decode on 2 TB/s HBM
 => ~8 img/s.  Target = 24 img/s/chip; vs_baseline >= 1.0 beats it.
 
 Env knobs:
-  AKI_BENCH_BATCH   batch size (default 16)
+  AKI_BENCH_BATCH   batch size (default 48 — the measured throughput
+                    optimum with the int8 KV cache: 14.6 img/s at bs16,
+                    15.3 at bs24, 15.8 at bs32, 16.1 at bs48; bs64 OOMs.
+                    bf16 KV OOMs past bs16.)
   AKI_BENCH_QUANT   w8 | w8a8 | w4 | w4a8 | bf16   (default w8a8:
                     dynamic-int8 matmuls on the MXU's native int8 path,
                     vision tower included). The w4 modes halve decode
                     weight bytes but int4 arrays do not transfer through
                     the tunneled axon PJRT plugin (RecursionError) — usable
                     on direct-attached TPUs / CPU only.
-  AKI_BENCH_KV8     1 -> int8 KV cache + fused Pallas decode kernel.
-                    Default 0: at bs16 the bf16 cache read through XLA
-                    (~530 GB/s) beats the int8 cache read through the
-                    Pallas DMA pipeline (~260 GB/s ceiling measured on
-                    this stack); int8 KV is the memory-capacity option
-                    for larger batches / longer contexts.
+  AKI_BENCH_KV8     1 -> int8 KV cache through the XLA inline-dequant
+                    decode path (default 1: halves cache bytes AND beats
+                    bf16 KV per step since the token-major-scale rewrite;
+                    it also unlocks bs>16, where throughput keeps
+                    climbing to the bs48 optimum). 0 -> bf16 KV, the
+                    bs<=16 low-latency option.
 """
 
 import json
@@ -42,19 +45,20 @@ import jax.numpy as jnp
 A100_BASELINE_IMG_S = 8.0   # analytic estimate, see module docstring
 TARGET_MULTIPLIER = 3.0
 
-BATCH = int(os.environ.get("AKI_BENCH_BATCH", "16"))
+BATCH = int(os.environ.get("AKI_BENCH_BATCH", "48"))
 QUANT = os.environ.get("AKI_BENCH_QUANT", "w8a8")
 # padded-head flat serving layout (quantize_params_padded): heads own 128
 # aligned lanes straight out of the projections — no relayouts around the
 # flash kernel, int8 flat-128 KV (forces KV8)
 PAD128 = os.environ.get("AKI_BENCH_PAD128", "0") == "1"
-KV8 = PAD128 or os.environ.get("AKI_BENCH_KV8", "0") == "1"
+KV8 = PAD128 or os.environ.get("AKI_BENCH_KV8", "1") == "1"
 TEXT_LEN = 512               # SFT max_length (configs/sft.yaml:21)
 DECODE_TOKENS = 32
-# 512 + 143 vision + decode room. The int8 decode kernel blocks the cache
-# in 128-multiples (768); the dense bf16 path reads every slot each step,
-# so the tighter 704 saves ~8% of the KV stream.
-MAX_LEN = 768 if KV8 else 704
+# 512 + 143 vision + decode room. Only the Pallas flat-128 kernel
+# (PAD128) blocks the cache in 128-multiples; both the bf16 path and the
+# XLA int8 inline-dequant path read every slot each step, so the tighter
+# 704 saves ~8% of the KV stream.
+MAX_LEN = 768 if PAD128 else 704
 
 
 def main():
@@ -144,10 +148,16 @@ def main():
         run = pf1 = None
         jax.clear_caches()
 
+        # drain workload: int8 slots (48 fit where bf16 OOMs at 24) +
+        # batched admission at bs16 (a bs16 prefill is ~offline MXU
+        # efficiency; greedy bs1-2 refill prefills were the measured
+        # throughput killer — decode stalls for a near-bs1-cost prefill
+        # every time one slot frees)
         eng = ServingEngine(
             params, cfg, num_slots=BATCH, max_len=MAX_LEN,
-            prompt_bucket=TEXT_LEN, admit_batch=4,
-            policy=policy,
+            prompt_bucket=TEXT_LEN,
+            admit_batch=min(16, BATCH), admit_policy="batched",
+            kv_int8=KV8, policy=policy,
         )
         n_req = 2 * BATCH
         rng2 = np.random.RandomState(1)

@@ -17,7 +17,10 @@ from aki_tpu.models.common import Policy
 from aki_tpu.models.configs import aki_4b
 from aki_tpu.models.quant import quantize_params, quantize_params_padded
 
-B, T, DEC = 16, 512, 32
+import os
+
+B = int(os.environ.get("B", "16"))
+T, DEC = 512, 32
 
 
 def sync(x):
@@ -47,7 +50,6 @@ def main():
     imgs = rng.randn(B, s, s, 3).astype(np.float32)
     ids, valid, imgs = jnp.array(ids), jnp.array(valid), jnp.array(imgs)
 
-    import os
     modes = os.environ.get("MODES", "bf16kv,kv8,pad128").split(",")
     for mode in modes:
         if mode == "bf16kv":
@@ -55,10 +57,13 @@ def main():
             kv8, max_len = False, 704
         elif mode == "kv8":
             qfn = lambda p: quantize_params(p, mode="w8a8")
-            kv8, max_len = True, 768
+            # the XLA decode path has no 128-multiple cache requirement;
+            # 704 saves ~9% of the KV stream vs 768
+            kv8, max_len = True, 704
         else:
             qfn = lambda p: quantize_params_padded(p, cfg.phi3, mode="w8a8")
             kv8, max_len = True, 768
+        max_len = int(os.environ.get("MAXLEN", str(max_len)))
         params = jax.jit(
             lambda k: qfn(init_aki(k, cfg, dtype=jnp.bfloat16))
         )(jax.random.PRNGKey(0))
