@@ -1,0 +1,112 @@
+"""Instrumented server drain — where does the drain wall-clock go?
+
+Replicates bench.py's server phase (96 mixed-arrival requests through a
+48-slot engine) with per-tick accounting: admissions by size, decode ticks
+by active count, and wall time attributed to admission vs decode dispatch
+vs final sync.
+
+PYTHONPATH=/root/repo:/root/.axon_site python exp/server_drain.py
+Knobs: SLOTS=48 ADMIT=16 POLICY=batched CHUNK=8 NREQ=96 SORTLEN=0
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aki_tpu.infer.server import ServingEngine
+from aki_tpu.models.aki import init_aki
+from aki_tpu.models.common import Policy
+from aki_tpu.models.configs import aki_4b, aki_tiny
+from aki_tpu.models.quant import quantize_params
+
+SLOTS = int(os.environ.get("SLOTS", "48"))
+ADMIT = int(os.environ.get("ADMIT", "16"))
+POLICY = os.environ.get("POLICY", "batched")
+CHUNK = int(os.environ.get("CHUNK", "8"))
+NREQ = int(os.environ.get("NREQ", "96"))
+SORTLEN = os.environ.get("SORTLEN", "0") == "1"
+TEXT_LEN = 512
+MAX_LEN = 704
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = aki_4b() if on_tpu else aki_tiny()
+    policy = Policy(param_dtype=jnp.bfloat16)
+    params = jax.jit(lambda k: quantize_params(
+        init_aki(k, cfg, dtype=jnp.bfloat16), mode="w8a8"
+    ))(jax.random.PRNGKey(0))
+
+    eng = ServingEngine(
+        params, cfg, num_slots=SLOTS, max_len=MAX_LEN,
+        prompt_bucket=TEXT_LEN, admit_batch=ADMIT, admit_policy=POLICY,
+        decode_chunk=CHUNK, kv_int8=True, policy=policy,
+    )
+
+    s = cfg.siglip.image_size
+    rng2 = np.random.RandomState(1)
+    reqs = []
+    for i in range(NREQ):
+        n = int(rng2.randint(TEXT_LEN // 2, TEXT_LEN))
+        rid = rng2.randint(5, cfg.initial_tokenizer_len - 1, size=n)
+        rid[1] = cfg.media_token_id
+        rid[40 % n] = cfg.assistant_token_id
+        img = rng2.randn(s, s, 3).astype(np.float32)
+        reqs.append((rid.tolist(), img, int(rng2.randint(16, 48))))
+    if SORTLEN:
+        reqs.sort(key=lambda r: len(r[0]))
+
+    t0 = time.perf_counter()
+    eng.warmup()
+    print(f"warmup {time.perf_counter() - t0:.1f}s", flush=True)
+
+    # instrument: wrap _admit_many and count tick occupancy
+    admits = []          # (batch size, prompt bucket, wall ms)
+    orig_admit = eng._admit_many
+
+    def admit_many(slots, rs):
+        t = time.perf_counter()
+        orig_admit(slots, rs)
+        admits.append((len(rs), (time.perf_counter() - t) * 1e3))
+    eng._admit_many = admit_many
+
+    for drain in range(3):
+        admits.clear()
+        ticks = []       # active count per decode tick
+        t0 = time.perf_counter()
+        handles = [eng.submit(r, im, max_new_tokens=m) for r, im, m in reqs]
+        t_dispatch = 0.0
+        while (not eng.queue.empty() or eng._pending
+               or any(r is not None for r in eng.slot_req)):
+            tt = time.perf_counter()
+            n_active = eng.step()
+            t_dispatch += time.perf_counter() - tt
+            ticks.append(n_active)
+        for h in handles:
+            h.result(timeout=5)
+        wall = time.perf_counter() - t0
+        n_dec = sum(1 for t in ticks if t > 0)
+        occ = [t for t in ticks if t > 0]
+        adm_ms = sum(a[1] for a in admits)
+        sizes = {}
+        for b, _ in admits:
+            sizes[b] = sizes.get(b, 0) + 1
+        print(
+            f"drain{drain}: {NREQ / wall:5.2f} img/s | wall {wall:6.2f}s | "
+            f"host-loop {t_dispatch:5.2f}s (admit-dispatch {adm_ms / 1e3:5.2f}s) | "
+            f"decode ticks {n_dec} (= {n_dec * CHUNK} steps) "
+            f"occ mean {np.mean(occ):4.1f}/{SLOTS} min {min(occ)} | "
+            f"admissions {sorted(sizes.items())}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    print(f"backend={jax.default_backend()} slots={SLOTS} admit={ADMIT} "
+          f"policy={POLICY} chunk={CHUNK} sortlen={SORTLEN}", flush=True)
+    main()
