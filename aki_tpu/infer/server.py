@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import queue
+import threading
 
 import numpy as np
 import jax
@@ -69,7 +70,8 @@ class ServingEngine:
                  policy: Policy = Policy(param_dtype=jnp.bfloat16),
                  sampling: SamplingConfig = SamplingConfig(),
                  kv_int8: bool = False, admit_policy: str = "greedy",
-                 prompt_buckets: tuple[int, ...] | None = None):
+                 prompt_buckets: tuple[int, ...] | None = None,
+                 image_uint8: bool = False):
         if admit_policy not in ("greedy", "batched"):
             raise ValueError(f"admit_policy {admit_policy!r}")
         self.params = params
@@ -102,6 +104,14 @@ class ServingEngine:
         # more slots / longer contexts (slightly slower per step at bs16,
         # see PERF.md)
         self.kv_int8 = kv_int8
+        # uint8 ingress: clients submit resized RGB uint8 pixels and the
+        # jitted prefill normalizes on device ((x/255 - .5)/.5, matching
+        # data/images.py:30-31). 4x fewer host->device bytes than
+        # pre-normalized float32 — decisive when the transport is slow
+        # (the tunneled runtime moves ~20-45 MB/s) and strictly less host
+        # work in production either way.
+        self.image_uint8 = image_uint8
+        self._host_dtype = np.uint8 if image_uint8 else np.float32
 
         if kv_int8:
             from ..models.phi3 import KVCacheQ
@@ -119,11 +129,20 @@ class ServingEngine:
             ),
         )
         s = cfg.siglip.image_size
-        self._zero_img = jax.device_put(np.zeros((s, s, 3), np.float32))
+        self._zero_img = jax.device_put(np.zeros((s, s, 3), self._host_dtype))
         # host bookkeeping
         self.slot_req: list[Request | None] = [None] * num_slots
         self.queue: "queue.Queue[Request]" = queue.Queue()
         self._rng = jax.random.PRNGKey(0)
+        # background uploader: host images batch-transfer on a side thread
+        # (device_put blocks its caller ~0.5 s + bytes/45 MB/s through a
+        # tunneled runtime; batched + threaded, the transfer wall-clock
+        # hides behind in-flight decode). Requests enter self.queue only
+        # once their pixels are device-resident.
+        self._upload_q: list[Request] = []
+        self._upload_cv = threading.Condition()
+        self._upload_thread: threading.Thread | None = None
+        self._shutdown = False
         # lag-1 chunks in flight: [(device toks, slot->request snapshot at
         # dispatch time)]. The host fetches chunk N's tokens while the
         # device executes chunk N+1 — the per-chunk tunnel round-trip
@@ -148,6 +167,10 @@ class ServingEngine:
 
     # -- jitted device functions ---------------------------------------------
     def _prefill_batch_impl(self, params, ids, img, valid):
+        if self.image_uint8:
+            # device-side normalization of uint8 RGB ingress; identical to
+            # the host path (x/255 - 0.5)/0.5 == x/127.5 - 1
+            img = img.astype(jnp.float32) / 127.5 - 1.0
         return prefill(params, self.cfg, ids, img, valid,
                        max_len=self.max_len, policy=self.policy,
                        kv_int8=self.kv_int8)
@@ -251,14 +274,60 @@ class ServingEngine:
                 break
             n = min(n * 2, self.decode_chunk)
 
+    def _uploader_loop(self):
+        while True:
+            with self._upload_cv:
+                while not self._upload_q and not self._shutdown:
+                    self._upload_cv.wait()
+                if self._shutdown and not self._upload_q:
+                    return
+                batch = self._upload_q[: self.admit_batch]
+                del self._upload_q[: self.admit_batch]
+            try:
+                rows = np.stack([
+                    np.asarray(r.image, self._host_dtype) for r in batch
+                ])
+                chunk = jax.device_put(rows)  # ONE transfer per group
+                for i, r in enumerate(batch):
+                    r._image_dev = chunk[i]   # device-side slice, no copy
+                    self.queue.put(r)
+            except Exception:
+                # fail open: requests stay servable via the host-row path
+                # in _admit_many (a dead uploader must not hang the drain)
+                for r in batch:
+                    self.queue.put(r)
+
+    def _pending_uploads(self) -> int:
+        with self._upload_cv:
+            return len(self._upload_q)
+
+    def close(self):
+        with self._upload_cv:
+            self._shutdown = True
+            self._upload_cv.notify_all()
+
     def submit(self, input_ids: list[int], image: np.ndarray,
                max_new_tokens: int = 128, eos_id: int | None = None) -> Request:
         req = Request(input_ids=list(input_ids), image=image,
                       max_new_tokens=max_new_tokens, eos_id=eos_id)
-        # async H2D now: the transfer rides behind whatever the chip is
-        # executing; admission later stacks committed device arrays
-        req._image_dev = jax.device_put(np.asarray(image, np.float32))
-        self.queue.put(req)
+        if isinstance(image, jax.Array):
+            # caller already holds a device array: free, admit directly
+            req._image_dev = image
+            self.queue.put(req)
+            return req
+        # Host pixels ride the uploader thread: per-request device_put
+        # blocks ~0.5 s each through a tunneled runtime, so the uploader
+        # stacks up to admit_batch pending rows into ONE transfer and the
+        # engine keeps decoding while it runs. The request only becomes
+        # admissible once its pixels are resident.
+        with self._upload_cv:
+            if self._upload_thread is None:
+                self._upload_thread = threading.Thread(
+                    target=self._uploader_loop, daemon=True
+                )
+                self._upload_thread.start()
+            self._upload_q.append(req)
+            self._upload_cv.notify()
         return req
 
     def _admit_many(self, slots: list[int], reqs: list[Request]):
@@ -287,13 +356,21 @@ class ServingEngine:
             ids[r, :n] = req.input_ids[:n]
             valid[r, :n] = 1
             img_rows.append(req._image_dev if req._image_dev is not None
-                            else jnp.asarray(req.image, jnp.float32))
+                            else np.asarray(req.image, self._host_dtype))
             slot_idx[r] = slot
         # dummy rows still need one valid token (prefill assumes non-empty)
         for r in range(len(reqs), b):
             valid[r, 0] = 1
             img_rows.append(self._zero_img)
-        imgs = jnp.stack(img_rows)   # device-side stack of committed rows
+        if any(isinstance(im, np.ndarray) for im in img_rows):
+            # direct _admit_many callers may still hand host rows: ONE
+            # batched H2D (per-row device_puts pay a full per-transfer
+            # setup each — seconds per drain through a tunneled runtime)
+            imgs = jax.device_put(np.stack([
+                np.asarray(im, self._host_dtype) for im in img_rows
+            ]))
+        else:
+            imgs = jnp.stack(img_rows)   # all rows already on device
         new = self._prefill_batch(
             self.params, jnp.array(ids), imgs, jnp.array(valid)
         )
@@ -304,15 +381,26 @@ class ServingEngine:
             req._dispatched = 0
 
     def _admit_free(self):
-        """Fill free slots from the queue (subject to admit_policy)."""
-        free = [i for i, r in enumerate(self.slot_req) if r is None]
-        n_active = self.num_slots - len(free)
-        hold = (
-            self.admit_policy == "batched"
-            and n_active > 0
-            and len(free) < min(self.admit_batch, self.queue.qsize())
-        )
-        while free and not self.queue.empty() and not hold:
+        """Fill free slots from the queue (subject to admit_policy).
+
+        "batched" holds a partial admission whenever waiting would let a
+        FULLER batch form — either because busy slots will free (the
+        original rule) or because the uploader has requests mid-transfer
+        (without this, a drain's opening ticks admit 1-2-request dribbles
+        as the first upload group lands, and each dribble pays a full
+        prefill dispatch; measured as fragmented admissions [(1,1),(2,2),
+        (15,1)] on drain 0 vs [(16,4),(12,2)] once upload-aware).
+        Recomputed per batch so a leftover tail below ``admit_batch`` is
+        only admitted when nothing more is coming."""
+        while True:
+            free = [i for i, r in enumerate(self.slot_req) if r is None]
+            ready = self.queue.qsize()
+            if not free or ready == 0:
+                return
+            if self.admit_policy == "batched":
+                incoming = ready + self._pending_uploads()
+                if min(len(free), ready) < min(self.admit_batch, incoming):
+                    return   # a fuller batch is forming — hold
             take_slots, take_reqs = [], []
             while free and len(take_reqs) < self.admit_batch:
                 try:
@@ -321,8 +409,9 @@ class ServingEngine:
                     break
                 take_reqs.append(req)
                 take_slots.append(free.pop(0))
-            if take_reqs:
-                self._admit_many(take_slots, take_reqs)
+            if not take_reqs:
+                return
+            self._admit_many(take_slots, take_reqs)
 
     def _process_chunk(self, toks: np.ndarray, snapshot: list):
         """Account one fetched chunk against the slot->request bindings
@@ -408,11 +497,21 @@ class ServingEngine:
             self._flush_pending()
         return n_active
 
+    def has_work(self) -> bool:
+        return (not self.queue.empty() or self._pending_uploads() > 0
+                or bool(self._pending)
+                or any(r is not None for r in self.slot_req))
+
     def run_until_drained(self, max_steps: int = 100000):
+        import time as _time
+
         steps = 0
-        while (not self.queue.empty() or self._pending or any(
-            r is not None for r in self.slot_req
-        )) and steps < max_steps:
-            self.step()
+        while self.has_work() and steps < max_steps:
+            n = self.step()
+            if (n == 0 and self.queue.empty()
+                    and self._pending_uploads() > 0):
+                # nothing admissible yet: the uploader is mid-transfer —
+                # yield instead of hot-spinning empty scheduler ticks
+                _time.sleep(0.002)
             steps += 1
         return steps

@@ -42,10 +42,11 @@ def main():
         init_aki(k, cfg, dtype=jnp.bfloat16), mode="w8a8"
     ))(jax.random.PRNGKey(0))
 
+    imgu8 = os.environ.get("IMGU8", "1") == "1"
     eng = ServingEngine(
         params, cfg, num_slots=SLOTS, max_len=MAX_LEN,
         prompt_bucket=TEXT_LEN, admit_batch=ADMIT, admit_policy=POLICY,
-        decode_chunk=CHUNK, kv_int8=True, policy=policy,
+        decode_chunk=CHUNK, kv_int8=True, image_uint8=imgu8, policy=policy,
     )
 
     s = cfg.siglip.image_size
@@ -56,7 +57,8 @@ def main():
         rid = rng2.randint(5, cfg.initial_tokenizer_len - 1, size=n)
         rid[1] = cfg.media_token_id
         rid[40 % n] = cfg.assistant_token_id
-        img = rng2.randn(s, s, 3).astype(np.float32)
+        img = (rng2.randint(0, 256, (s, s, 3)).astype(np.uint8) if imgu8
+               else rng2.randn(s, s, 3).astype(np.float32))
         reqs.append((rid.tolist(), img, int(rng2.randint(16, 48))))
     if SORTLEN:
         reqs.sort(key=lambda r: len(r[0]))
@@ -81,12 +83,13 @@ def main():
         t0 = time.perf_counter()
         handles = [eng.submit(r, im, max_new_tokens=m) for r, im, m in reqs]
         t_dispatch = 0.0
-        while (not eng.queue.empty() or eng._pending
-               or any(r is not None for r in eng.slot_req)):
+        while eng.has_work():
             tt = time.perf_counter()
             n_active = eng.step()
             t_dispatch += time.perf_counter() - tt
             ticks.append(n_active)
+            if n_active == 0 and eng.queue.empty():
+                time.sleep(0.002)   # uploader mid-transfer: yield
         for h in handles:
             h.result(timeout=5)
         wall = time.perf_counter() - t0

@@ -68,6 +68,39 @@ def test_server_kv_int8_matches_one_shot():
         assert got == list(np.asarray(want)[0]), (got, np.asarray(want)[0])
 
 
+def test_server_uint8_ingress_matches_float():
+    """uint8 ingress (device-side normalize) must produce the same tokens
+    as pre-normalized float32 ingress of the same pixels."""
+    params = init_aki(jax.random.PRNGKey(0), CFG)
+    s = CFG.siglip.image_size
+    rng = np.random.RandomState(3)
+    prompts = []
+    for i in range(3):
+        ids, _ = make_prompt(np.random.RandomState(300 + i))
+        px = rng.randint(0, 256, (s, s, 3)).astype(np.uint8)
+        prompts.append((ids, px))
+
+    eng_u8 = ServingEngine(params, CFG, num_slots=2, max_len=48,
+                           prompt_bucket=12, policy=F32, image_uint8=True)
+    reqs_u8 = [eng_u8.submit(ids, px, max_new_tokens=4)
+               for ids, px in prompts]
+    eng_u8.run_until_drained()
+
+    eng_f = ServingEngine(params, CFG, num_slots=2, max_len=48,
+                          prompt_bucket=12, policy=F32)
+    reqs_f = [
+        eng_f.submit(
+            ids, (px.astype(np.float32) / 255.0 - 0.5) / 0.5,  # images.py:30
+            max_new_tokens=4,
+        )
+        for ids, px in prompts
+    ]
+    eng_f.run_until_drained()
+
+    for ru, rf in zip(reqs_u8, reqs_f):
+        assert ru.result(timeout=1) == rf.result(timeout=1)
+
+
 def test_server_eos_frees_slot_early():
     rng = np.random.RandomState(1)
     params = init_aki(jax.random.PRNGKey(1), CFG)
