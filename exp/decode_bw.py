@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 S, F, H, D = 704, 3072, 32, 96
-L = 8   # layers per jit call (amortize dispatch); scale results per layer
+L = 32  # layers per jit call (amortize tunnel dispatch); halved at bs48 (HBM)
 
 
 def sync(x):
@@ -46,7 +46,11 @@ def attn_once(qb, k, ks, v, vs, lengths):
 
 
 def main():
-    for b in (16, 48):
+    # one batch size per process (pass as argv[1]) — buffers from a previous
+    # batch linger on-device through the axon tunnel and OOM bs48
+    global L
+    for b in ([int(sys.argv[1])] if len(sys.argv) > 1 else [16, 48]):
+        L = 12 if b >= 48 else 32
         key = jax.random.PRNGKey(0)
         k8 = jax.random.randint(key, (L, b, S, F), -127, 127, jnp.int8)
         v8 = jax.random.randint(key, (L, b, S, F), -127, 127, jnp.int8)
@@ -68,6 +72,42 @@ def main():
         print(f"bs{b}: attn {t * 1e3:6.2f} ms/layer | cache {gb:5.2f} GB "
               f"| {gb / t:6.1f} GB/s", flush=True)
 
+        # non-dot control first (reuses k8/v8), then free them before the
+        # bf16 buffers are allocated — both sets at once OOM at bs48.
+        @jax.jit
+        def reduce_all(k8, v8):
+            outs = []
+            for li in range(L):
+                outs.append(jnp.max(k8[li], axis=(1, 2)).astype(jnp.int32)
+                            + jnp.max(v8[li], axis=(1, 2)).astype(jnp.int32))
+            return jnp.stack(outs)
+
+        t = timeit(lambda: reduce_all(k8, v8)) / L
+        print(f"bs{b}: pure int8 read-reduce  {t * 1e3:6.2f} ms/layer "
+              f"| {gb / t:6.1f} GB/s", flush=True)
+
+        # wider-M control: does the qk dot speed up when M rows grow?
+        for m in (128, 256):
+            qw = jax.random.normal(key, (b, m, F), jnp.bfloat16)
+
+            @jax.jit
+            def run_wide(qw, k8):
+                outs = []
+                for li in range(L):
+                    outs.append(jnp.einsum(
+                        "bhf,bsf->bhs", qw, k8[li].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32))
+                return jnp.stack(outs)
+
+            t = timeit(lambda: run_wide(qw, k8)) / L
+            gbk = b * S * F / 1e9
+            print(f"bs{b}: qk dot M={m:4d}       {t * 1e3:6.2f} ms/layer "
+                  f"| {gbk / t:6.1f} GB/s (K only)", flush=True)
+
+        for buf in (k8, v8, ks, vs):
+            buf.delete()
+        del k8, v8, ks, vs
+
         # pure bf16 stream of the same byte count for comparison
         kb = jax.random.normal(key, (L, b, S, F // 2), jnp.bfloat16)
         vb = jax.random.normal(key, (L, b, S, F // 2), jnp.bfloat16)
@@ -88,6 +128,9 @@ def main():
         t = timeit(lambda: run_bf(qh, kb, vb, lengths)) / L
         print(f"bs{b}: bf16 stream same bytes {t * 1e3:6.2f} ms/layer "
               f"| {gb / t:6.1f} GB/s", flush=True)
+        for buf in (kb, vb):
+            buf.delete()
+        del kb, vb
 
 
 if __name__ == "__main__":

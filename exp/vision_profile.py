@@ -49,8 +49,7 @@ def main():
 
     def q_tree(p):
         out = {
-            "patch_embed": {"w": quantize_tensor(p["patch_embed"]["w"], a8=True),
-                            "b": p["patch_embed"]["b"]},
+            "patch_embed": p["patch_embed"],   # production leaves it float
             "pos_embed": p["pos_embed"],
             "post_ln": p["post_ln"],
             "layers": dict(p["layers"]),
