@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from ..ops.attention import dense_attention
 from ..ops.masks import MMASpec
 from ..ops.rope import apply_rope, rope_cos_sin
-from .quant import mm
+from .quant import mm, norm_quant_acts, silu_mul_quant_acts
 from .common import Params, Policy, rmsnorm
 from .configs import Phi3Config
 
@@ -204,7 +204,11 @@ def _attention_layer(
     b, t, d = x.shape
     nh, nkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-    h = rmsnorm(lp["ln1"], x, eps)
+    # fused norm+quantize ahead of the int8 qkv dots when serving W8A8
+    # (one HBM pass instead of XLA's norm/amax/quantize chain); plain
+    # rmsnorm otherwise — norm_quant_acts decides from the probe kernel
+    h = norm_quant_acts("rms", lp["ln1"], x, eps,
+                        probe=lp.get("wqkv", lp.get("wq")))
 
     wq = lp.get("wq")
     wq_cols = (wq.q.shape[-1] if hasattr(wq, "q") else wq.shape[-1]) \
@@ -260,13 +264,11 @@ def _attention_layer(
                 q_offset=q_offset,
             )
         x = x + mm(attn_flat, lp["wo"])
-        h2 = rmsnorm(lp["ln2"], x, eps)
+        h2 = norm_quant_acts("rms", lp["ln2"], x, eps, probe=lp["w_gate"])
         gate = mm(h2, lp["w_gate"])
         up = mm(h2, lp["w_up"])
-        mlp = mm(
-            jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
-            lp["w_down"],
-        )
+        mlp = mm(silu_mul_quant_acts(gate, up, probe=lp["w_down"]),
+                 lp["w_down"])
         return x + mlp, (ck8, cks, cv8, cvs), jnp.zeros((), jnp.float32)
 
     if "wqkv" in lp:
@@ -386,27 +388,25 @@ def _attention_layer(
     out = mm(attn.reshape(b, t, nh * dh), lp["wo"])
     x = x + out
 
-    h2 = rmsnorm(lp["ln2"], x, eps)
     aux = jnp.zeros((), jnp.float32)
     if "moe" in lp:
         from .moe import moe_mlp
 
+        h2 = rmsnorm(lp["ln2"], x, eps)
         mlp, aux = moe_mlp(lp["moe"], h2, cfg.moe, mesh=ep_mesh)
     elif "w_gateup" in lp:
+        h2 = norm_quant_acts("rms", lp["ln2"], x, eps, probe=lp["w_gateup"])
         gu = mm(h2, lp["w_gateup"])
         inter = gu.shape[-1] // 2
         gate, up = gu[..., :inter], gu[..., inter:]
-        mlp = mm(
-            jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
-            lp["w_down"],
-        )
+        mlp = mm(silu_mul_quant_acts(gate, up, probe=lp["w_down"]),
+                 lp["w_down"])
     else:
+        h2 = norm_quant_acts("rms", lp["ln2"], x, eps, probe=lp["w_gate"])
         gate = mm(h2, lp["w_gate"])
         up = mm(h2, lp["w_up"])
-        mlp = mm(
-            jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
-            lp["w_down"],
-        )
+        mlp = mm(silu_mul_quant_acts(gate, up, probe=lp["w_down"]),
+                 lp["w_down"])
     return x + mlp, new_cache, aux
 
 

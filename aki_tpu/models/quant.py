@@ -25,6 +25,7 @@ representations, so training is untouched.
 from __future__ import annotations
 
 import dataclasses
+from typing import NamedTuple
 
 import numpy as np
 
@@ -32,6 +33,36 @@ import jax
 import jax.numpy as jnp
 
 QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+# Fused single-pass act-quant kernels (ops/fused_quant.py) ahead of the
+# int8 dots: "auto" engages the measured winner only — the vision
+# layernorm site (1.32x in-scan on v5e; narrow d=1152 rows where XLA's
+# 4-pass chain loses most). The other sites LOSE on v5e despite reading
+# ~3x fewer bytes, because the Pallas DMA path tops out at ~260 GB/s vs
+# XLA's ~450 GB/s fused streaming: rms 0.98x, gelu 0.91x in-scan; silu
+# measured 1.05x at bs16 shapes but -1 img/s end-to-end at bs48
+# (16.14 -> 15.13). "on" forces every site everywhere (tests exercise the
+# kernels via interpret on CPU), "off" keeps the composed XLA path.
+FUSED_ACT_QUANT = __import__("os").environ.get("AKI_FUSED_ACT_QUANT", "auto")
+_FUSED_WINNING_SITES = frozenset(
+    __import__("os").environ.get("AKI_FUSED_SITES", "ln").split(","))
+
+
+def _fused_enabled(site: str) -> bool:
+    if FUSED_ACT_QUANT == "auto":
+        return (jax.default_backend() == "tpu"
+                and site in _FUSED_WINNING_SITES)
+    return FUSED_ACT_QUANT == "on"
+
+
+class PreQuant(NamedTuple):
+    """Activation already quantized by a fused kernel: :func:`mm` consumes
+    it directly (skipping ``quantize_acts``). Never crosses a jit boundary —
+    created and consumed inside one traced forward."""
+
+    q: jax.Array          # int8 (..., d)
+    s: jax.Array          # f32  (..., 1) per-row scales
+    dtype: jnp.dtype      # output dtype for the consuming matmul
 
 
 @dataclasses.dataclass
@@ -88,7 +119,22 @@ def mm(x: jax.Array, w) -> jax.Array:
     for the int8 MXU win to beat the act-quant + int32-epilogue overhead:
     prefill (thousands of rows) quantizes, decode (a handful) streams the
     int8 weights into a bf16 matmul instead.
+
+    ``x`` may also be a :class:`PreQuant` (a fused norm/act+quantize kernel
+    already produced the int8 rows + scales) — the dot runs directly.
     """
+    if isinstance(x, PreQuant):
+        if not (is_quantized(w) and w.a8):
+            raise TypeError("PreQuant activations need an a8 QuantTensor")
+        wq = w.q if w.q.dtype == jnp.int8 else w.q.astype(jnp.int8)
+        y = jax.lax.dot_general(
+            x.q, wq,
+            (((x.q.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return (
+            y.astype(jnp.float32) * x.s * w.s.astype(jnp.float32)
+        ).astype(x.dtype)
     if is_quantized(w):
         rows = int(np.prod(x.shape[:-1]))
         if w.a8 and rows >= 64:
@@ -105,6 +151,59 @@ def mm(x: jax.Array, w) -> jax.Array:
         y = x @ w.q.astype(x.dtype)
         return y * w.s.astype(x.dtype)
     return x @ w
+
+
+def _fusable(site: str, x: jax.Array, w) -> bool:
+    """Should a fused single-pass quantize kernel feed the dot on ``w``?
+    Mirrors :func:`mm`'s a8 gate (static row count >= 64) plus the fused
+    kernels' own layout constraint (128-multiple cols)."""
+    return (
+        _fused_enabled(site)
+        and is_quantized(w)
+        and w.a8
+        and int(np.prod(x.shape[:-1])) >= 64
+        and x.shape[-1] % 128 == 0
+    )
+
+
+def norm_quant_acts(kind: str, p: dict, x: jax.Array, eps: float, probe):
+    """Pre-matmul norm: fused norm+quantize (one HBM pass) when the
+    consuming kernel ``probe`` takes the a8 path, else the plain norm.
+
+    Returns a :class:`PreQuant` or a plain normed tensor — either way a
+    valid first argument to :func:`mm`.
+    """
+    from ..ops import fused_quant as fq
+    from .common import layernorm, rmsnorm
+
+    if _fusable(kind, x, probe):
+        if kind == "rms":
+            q, s = fq.rmsnorm_quant(x, p["scale"], eps)
+        else:
+            q, s = fq.layernorm_quant(x, p["scale"], p["bias"], eps)
+        return PreQuant(q=q, s=s, dtype=x.dtype)
+    return rmsnorm(p, x, eps) if kind == "rms" else layernorm(p, x, eps)
+
+
+def silu_mul_quant_acts(gate: jax.Array, up: jax.Array, probe):
+    """Fused silu(gate)*up + quantize ahead of ``w_down`` when fusable."""
+    from ..ops import fused_quant as fq
+
+    if _fusable("silu", gate, probe):
+        q, s = fq.silu_mul_quant(gate, up)
+        return PreQuant(q=q, s=s, dtype=up.dtype)
+    return jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+
+
+def gelu_quant_acts(x: jax.Array, bias: jax.Array, probe):
+    """Fused tanh-gelu(x + bias) + quantize ahead of ``fc2`` when fusable."""
+    from ..ops import fused_quant as fq
+
+    if _fusable("gelu", x, probe):
+        q, s = fq.gelu_quant(x, bias)
+        return PreQuant(q=q, s=s, dtype=x.dtype)
+    return jax.nn.gelu((x + bias).astype(jnp.float32),
+                       approximate=True).astype(x.dtype)
 
 
 def take_columns(w, end: int):
@@ -240,9 +339,22 @@ def quantize_params(params: dict, mode: str = "w8",
             for k in ("wq", "wk", "wv"):
                 sly[k] = quantize_tensor(sly[k], a8=a8, bits=bits)
         sly["wo"] = quantize_tensor(sly["wo"], a8=a8, bits=bits)
-        sly["fc1"] = {"w": quantize_tensor(sly["fc1"]["w"], a8=a8, bits=bits),
-                      "b": sly["fc1"]["b"]}
-        sly["fc2"] = {"w": quantize_tensor(sly["fc2"]["w"], a8=a8, bits=bits),
+        fc1_w, fc1_b = sly["fc1"]["w"], sly["fc1"]["b"]
+        fc2_w = sly["fc2"]["w"]
+        if a8 and fc1_w.shape[-1] % 128:
+            # lane-align the MLP width (SO400M: 4304 -> 4352) so the fused
+            # gelu+quantize kernel can run; zero fc1 columns produce
+            # gelu(0) == 0 activations that zero fc2 rows then ignore —
+            # numerics are exactly the unpadded ones
+            inter = fc1_w.shape[-1]
+            pad = ((inter + 127) // 128) * 128 - inter
+            fc1_w = jnp.pad(fc1_w, [(0, 0)] * (fc1_w.ndim - 1) + [(0, pad)])
+            fc1_b = jnp.pad(fc1_b, [(0, 0)] * (fc1_b.ndim - 1) + [(0, pad)])
+            fc2_w = jnp.pad(
+                fc2_w, [(0, 0)] * (fc2_w.ndim - 2) + [(0, pad), (0, 0)])
+        sly["fc1"] = {"w": quantize_tensor(fc1_w, a8=a8, bits=bits),
+                      "b": fc1_b}
+        sly["fc2"] = {"w": quantize_tensor(fc2_w, a8=a8, bits=bits),
                       "b": sly["fc2"]["b"]}
         sl["layers"] = sly
         out["siglip"] = sl

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..ops.attention import dense_attention
 from .common import Params, Policy, layernorm
 from .configs import SigLIPVisionConfig
-from .quant import mm
+from .quant import gelu_quant_acts, mm, norm_quant_acts
 
 
 def init_siglip(key, cfg: SigLIPVisionConfig, dtype=jnp.float32) -> Params:
@@ -97,7 +97,10 @@ def siglip_forward(
 
     def body(x, lp):
         b, t, d = x.shape
-        h = layernorm(lp["ln1"], x, eps)
+        # fused layernorm+quantize (one HBM pass) when serving int8;
+        # plain layernorm otherwise — decided from the probe kernel
+        h = norm_quant_acts("ln", lp["ln1"], x, eps,
+                            probe=lp.get("wqkv", lp.get("wq")))
         if "wqkv" in lp:
             # serving-time fused+quantized QKV (models/quant.py)
             qkv = mm(h, lp["wqkv"]) + lp["bqkv"]
@@ -120,10 +123,12 @@ def siglip_forward(
         else:
             attn = dense_attention(q, k, v, causal=False)
         x = x + (mm(attn.reshape(b, t, d), lp["wo"]) + lp["bo"])
-        h2 = layernorm(lp["ln2"], x, eps)
-        h2 = mm(h2, lp["fc1"]["w"]) + lp["fc1"]["b"]
-        h2 = jax.nn.gelu(h2.astype(jnp.float32), approximate=True).astype(x.dtype)
-        x = x + (mm(h2, lp["fc2"]["w"]) + lp["fc2"]["b"])
+        h2 = norm_quant_acts("ln", lp["ln2"], x, eps, probe=lp["fc1"]["w"])
+        y1 = mm(h2, lp["fc1"]["w"])
+        # fused gelu(y1 + b) + quantize when fc2 is int8 and the fc1 width
+        # is lane-aligned (quantize_params pads 4304 -> 4352 for this)
+        h2g = gelu_quant_acts(y1, lp["fc1"]["b"], probe=lp["fc2"]["w"])
+        x = x + (mm(h2g, lp["fc2"]["w"]) + lp["fc2"]["b"])
         return x, None
 
     x, _ = jax.lax.scan(body, x, pp["layers"])
