@@ -39,6 +39,18 @@ from .masks import MMASpec
 
 NEG_INF = -1e30
 
+# Softmax in base 2: exp2 is the cheap hardware path on the VPU (one
+# transcendental vs exp's range-reduction chain) and the kernel is
+# VPU-bound at AKI tile sizes. log2(e) folds into the softmax scale the
+# wrapper already bakes into q, so p = exp2(s2 - m2) == exp(s - m)
+# exactly in real arithmetic. NEG_INF is base-agnostic (exp2(-1e30) == 0).
+EXP2 = True
+_LOG2E = 1.4426950408889634
+
+
+def _exp_fn(x):
+    return jnp.exp2(x) if EXP2 else jnp.exp(x)
+
 
 def _mask_ok(img_start_ref, txt_start_ref, txt_end_ref, kv_valid_ref,
              b, q_start, k_start, block_q, block_kv, num_images, causal):
@@ -134,10 +146,10 @@ def _kernel(
             m_prev = m_scr[g][:, :1]                  # (block_q, 1)
             m_cur = jnp.max(s, axis=-1, keepdims=True)
             m_new = jnp.maximum(m_prev, m_cur)
-            p = jnp.exp(s - m_new)
+            p = _exp_fn(s - m_new)
             # fully-masked rows: m_new == NEG_INF -> exp(0) == 1 garbage
             p = jnp.where(ok, p, 0.0)
-            alpha = jnp.exp(m_prev - m_new)
+            alpha = _exp_fn(m_prev - m_new)
             l_new = l_scr[g][:, :1] * alpha + jnp.sum(
                 p, axis=-1, keepdims=True
             )
@@ -211,7 +223,7 @@ def _kernel_1kv(
         # garbage) DO occur for real rows — left-padded samples, empty
         # kv_valid — so zero them via the row max, matching the dense
         # oracle (one (block_q, 1) compare, not a (bq, bkv) pass).
-        p = jnp.exp(s - m)
+        p = _exp_fn(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         acc = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -267,7 +279,7 @@ def _kernel_1kv_flat(
             preferred_element_type=jnp.float32,
         ) + neg
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = _exp_fn(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         acc = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -323,7 +335,7 @@ def flash_mma_attention_flat(
         kv_valid = jnp.ones((b, s_len), jnp.int32)
     q_offset = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (b,))
 
-    qs = q * jnp.asarray(scale, q.dtype)
+    qs = q * jnp.asarray(scale * (_LOG2E if EXP2 else 1.0), q.dtype)
     kt = _pad_to(k, s_pad, 1)
     vt = _pad_to(v, s_pad, 1)
     kv_valid_p = _pad_to(kv_valid.astype(jnp.int32), s_pad, 1)[:, None, :]
@@ -447,7 +459,7 @@ def _flash_fwd_impl(q, k, v, packed_spec, kv_valid_and_offset,
     # Fold the softmax scale into q here: one elementwise pass over
     # (B,T,H,D) instead of a per-cell pass over every (block_q, block_kv)
     # score tile inside the kernel.
-    qs = q * jnp.asarray(scale, q.dtype)
+    qs = q * jnp.asarray(scale * (_LOG2E if EXP2 else 1.0), q.dtype)
     if plain and s_len < s_pad:
         # padded key rows carry NEG_INF in the first pad lane and q
         # carries 1.0 there, so the pad mask rides the QK dot itself.
