@@ -382,6 +382,185 @@ def flash_mma_attention_flat(
     return out[:, :t]
 
 
+def _kernel_1kv_q8(
+    # scalar prefetch (SMEM)
+    img_start_ref, txt_start_ref, txt_end_ref, q_offset_ref,
+    # inputs (VMEM tiles)
+    q_ref, k_ref, v_ref,      # int8 (1, bh, bq|bkv, dp)
+    sq_ref,                   # f32 (1, bh*bq, 1) — column layout per q row
+    sk_ref, sv_ref,           # f32 (1, bh, bkv) — per-head lane vectors
+    kv_valid_ref,
+    # output
+    o_ref,
+    *,
+    block_q: int,
+    block_kv: int,
+    block_h: int,
+    num_images: int,
+    causal: bool,
+):
+    """Single-KV-tile flash forward over int8 q/k/v (serving path).
+
+    The kernel is DMA-bound on this stack (~260 GB/s Pallas ceiling;
+    measured 1.65 ms/call bare at AKI prefill shapes) — int8 operands
+    halve the bytes. Scores come off the native int8 MXU as int32 and
+    rescale in f32 by per-(token, head) scales: sq rides as a (bq, 1)
+    COLUMN block (lane dim 1 — natural column-broadcast layout), sk/sv as
+    per-head lane vectors multiplying score/probability columns. V
+    dequant folds into p (p * sv per column), so the PV dot runs bf16 x
+    bf16 — no probability requantization (the accuracy trap the int8
+    decode kernel measured).
+    """
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    q_offset = q_offset_ref[b]
+    q_start = qi * block_q + q_offset
+    ok = _mask_ok(
+        img_start_ref, txt_start_ref, txt_end_ref, kv_valid_ref,
+        b, q_start, 0, block_q, block_kv, num_images, causal,
+    )
+    neg = jnp.where(ok, 0.0, NEG_INF)
+    sqs = sq_ref[0]                                   # (bh*bq, 1) f32
+
+    for g in range(block_h):
+        q = q_ref[0, g]                               # (bq, dp) int8
+        k = k_ref[0, g]                               # (bkv, dp) int8
+        s32 = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        sqc = sqs[g * block_q:(g + 1) * block_q]      # (bq, 1)
+        skr = sk_ref[0, g]                            # (bkv,) lanes
+        s = s32.astype(jnp.float32) * sqc * skr + neg
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = _exp_fn(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        pv = (p * sv_ref[0, g]).astype(jnp.bfloat16)  # fold V scales
+        acc = jax.lax.dot_general(
+            pv, v_ref[0, g].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        l = jnp.where(l == 0.0, 1.0, l)
+        live = m > NEG_INF * 0.5
+        o_ref[0, g] = jnp.where(live, acc / l, 0.0).astype(o_ref.dtype)
+
+
+def _quantize_heads(x):
+    """(B, T, H, D) -> (int8 same shape, f32 (B, T, H) per-row scales)."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1)
+    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+    q = jnp.clip(jnp.round(x32 / scale[..., None]), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def flash_mma_attention_q8(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    spec: MMASpec | None = None,
+    kv_valid: jax.Array | None = None,
+    q_offset: jax.Array | int = 0,
+    causal: bool = True,
+    scale: float | None = None,
+    block_h: int = 8,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Flash MMA forward with int8 q/k/v (inference only, single KV tile).
+
+    Quantizes q/k/v per (token, head) row — the same granularity as the
+    int8 KV cache (``decode_attention.quantize_kv_flat``) — and runs the
+    QK dot on the native int8 MXU; P stays bf16. Accuracy is the kv8
+    class already accepted for decode. ~2x less kernel DMA than the bf16
+    kernel (which is DMA-ceiling-bound). Sequences beyond one 1024 tile
+    or GQA fall back to :func:`flash_mma_attention`.
+    """
+    b, t, h, d = q.shape
+    s_len, hkv = k.shape[1], k.shape[2]
+    if scale is None:
+        scale = d ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    t_pad = max(128, ((t + 127) // 128) * 128)
+    s_pad = max(128, ((s_len + 127) // 128) * 128)
+    if hkv != h or t_pad > 1024 or s_pad > 1024:
+        return flash_mma_attention(
+            q, k, v, spec=spec, kv_valid=kv_valid, q_offset=q_offset,
+            causal=causal, scale=scale, block_h=block_h,
+            interpret=interpret,
+        )
+    d_pad = max(128, ((d + 127) // 128) * 128)
+    img_start, txt_start, txt_end, n_img = _normalize_spec(spec, b)
+    if kv_valid is None:
+        kv_valid = jnp.ones((b, s_len), jnp.int32)
+    q_offset = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (b,))
+
+    while h % block_h:
+        block_h //= 2
+
+    q8, sq = _quantize_heads(q)
+    k8, sk = _quantize_heads(k)
+    v8, sv = _quantize_heads(v)
+
+    def prep(x8):  # int8 (B, T', H, D) -> (B, H, T_pad', 128)
+        size = t_pad if x8.shape[1] == t else s_pad
+        return _pad_to(_pad_to(x8, size, 1), d_pad, 3).transpose(0, 2, 1, 3)
+
+    qt, kt, vt = prep(q8), prep(k8), prep(v8)
+    # fold softmax scale (and the exp2 log2e) into the q scales
+    sq = sq * jnp.asarray(scale * (_LOG2E if EXP2 else 1.0), jnp.float32)
+    # sq: (B, T, H) -> (B, H*T_pad, 1) column layout (pad rows get 1.0)
+    sq_c = _pad_to(sq.transpose(0, 2, 1), t_pad, 2).reshape(
+        b, h * t_pad, 1)
+    # sk/sv: (B, S, H) -> (B, H, S_pad) per-head lane vectors
+    sk_r = _pad_to(sk.transpose(0, 2, 1), s_pad, 2)
+    sv_r = _pad_to(sv.transpose(0, 2, 1), s_pad, 2)
+    kv_valid_p = _pad_to(kv_valid.astype(jnp.int32), s_pad, 1)[:, None, :]
+
+    grid = (b, h // block_h, 1, 1)
+    kernel = functools.partial(
+        _kernel_1kv_q8,
+        block_q=t_pad, block_kv=s_pad, block_h=block_h,
+        num_images=n_img, causal=causal,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_h, t_pad, d_pad),
+                             lambda bb, hh, qi, kj, *_: (bb, hh, 0, 0)),
+                pl.BlockSpec((1, block_h, s_pad, d_pad),
+                             lambda bb, hh, qi, kj, *_: (bb, hh, 0, 0)),
+                pl.BlockSpec((1, block_h, s_pad, d_pad),
+                             lambda bb, hh, qi, kj, *_: (bb, hh, 0, 0)),
+                pl.BlockSpec((1, block_h * t_pad, 1),
+                             lambda bb, hh, qi, kj, *_: (bb, hh, 0)),
+                pl.BlockSpec((1, block_h, s_pad),
+                             lambda bb, hh, qi, kj, *_: (bb, hh, 0)),
+                pl.BlockSpec((1, block_h, s_pad),
+                             lambda bb, hh, qi, kj, *_: (bb, hh, 0)),
+                pl.BlockSpec((1, 1, s_pad),
+                             lambda bb, hh, qi, kj, *_: (bb, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, block_h, t_pad, d_pad),
+                lambda bb, hh, qi, kj, *_: (bb, hh, 0, 0),
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d_pad), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(img_start, txt_start, txt_end, q_offset.astype(jnp.int32),
+      qt, kt, vt, sq_c, sk_r, sv_r, kv_valid_p)
+    return out.transpose(0, 2, 1, 3)[:, :t, :, :d]
+
+
 def _normalize_spec(spec, batch):
     if spec is None:
         z = jnp.zeros((batch, 1), jnp.int32)

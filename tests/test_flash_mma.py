@@ -290,3 +290,39 @@ def test_flash_flat_matches_dense():
     want = np.asarray(dense_attention(q, k, v, spec=spec, kv_valid=kvv))
     np.testing.assert_allclose(got[..., :d], want, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(got[..., d:], 0.0, atol=1e-7)
+
+
+def test_flash_q8_matches_dense():
+    """The int8-operand forward (flash_mma_attention_q8) matches the dense
+    oracle to int8 quantization tolerance, incl. MMA spec + kv_valid."""
+    from aki_tpu.ops.flash_mma import flash_mma_attention_q8
+
+    rng = np.random.RandomState(12)
+    b, t, h, d = 2, 180, 4, 64
+    q, k, v = rand_qkv(rng, b, t, t, h, d)
+    spec = MMASpec(
+        img_start=jnp.zeros((b, 1), jnp.int32),
+        txt_start=jnp.full((b, 1), 40, jnp.int32),
+        txt_end=jnp.full((b, 1), t, jnp.int32),
+    )
+    kvv = np.ones((b, t), np.int32)
+    kvv[1, 150:] = 0
+    kvv = jnp.asarray(kvv)
+
+    got = np.asarray(flash_mma_attention_q8(
+        q, k, v, spec=spec, kv_valid=kvv, interpret=True))
+    want = np.asarray(dense_attention(q, k, v, spec=spec, kv_valid=kvv))
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() < 0.05 * scale
+
+
+def test_flash_q8_noncausal_plain():
+    from aki_tpu.ops.flash_mma import flash_mma_attention_q8
+
+    rng = np.random.RandomState(13)
+    b, t, h, d = 2, 100, 2, 32
+    q, k, v = rand_qkv(rng, b, t, t, h, d)
+    got = np.asarray(flash_mma_attention_q8(q, k, v, causal=False,
+                                            interpret=True))
+    want = np.asarray(dense_attention(q, k, v, causal=False))
+    assert np.abs(got - want).max() < 0.05 * np.abs(want).max()
