@@ -150,6 +150,7 @@ def _kernel(
         s = jax.lax.dot_general(
             qb, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
+            precision=jax.lax.Precision.DEFAULT,
         ).astype(jnp.float32)                         # (H, block_kv)
         k_start = j * block_kv
         # effective scale = q_scale[h] * k_scale[token] (folded in XLA)
@@ -177,6 +178,7 @@ def _kernel(
         o_full = jax.lax.dot_general(
             p8, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
+            precision=jax.lax.Precision.DEFAULT,
         ).astype(jnp.float32)                         # (H, F)
 
         # mask to each head's diagonal block, then collapse (H, F) ->
@@ -189,6 +191,7 @@ def _kernel(
         o_diag = jax.lax.dot_general(
             o_masked, sel_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )                                             # (H, D)
 
         acc_scr[:] = acc_scr[:] * alpha + o_diag * pscale
@@ -414,6 +417,7 @@ def decode_attention_flat_xla(
     s32 = jnp.einsum(
         "bhf,bsf->bhs", qb, k_li.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
     )
     s = s32 * ks_li * scale
 
@@ -426,6 +430,7 @@ def decode_attention_flat_xla(
     o_full = jnp.einsum(
         "bhs,bsf->bhf", pv, v_li.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
     )                                       # (B, H, F) — off-diag garbage
 
     row = jax.lax.broadcasted_iota(jnp.int32, (h, f), 0)

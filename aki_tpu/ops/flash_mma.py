@@ -140,6 +140,7 @@ def _kernel(
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
             ) + neg                        # (block_q, block_kv); scale is
                                            # pre-folded into q by the wrapper
 
@@ -156,6 +157,7 @@ def _kernel(
             acc_scr[g] = acc_scr[g] * alpha + jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
             )
             m_scr[g] = jnp.broadcast_to(m_new, m_scr.shape[1:])
             l_scr[g] = jnp.broadcast_to(l_new, l_scr.shape[1:])
@@ -214,6 +216,7 @@ def _kernel_1kv(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
         if neg is not None:
             s = s + neg
@@ -228,6 +231,7 @@ def _kernel_1kv(
         acc = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
         if plain:
             o_ref[0, g] = (acc / l).astype(o_ref.dtype)
@@ -277,6 +281,7 @@ def _kernel_1kv_flat(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         ) + neg
         m = jnp.max(s, axis=-1, keepdims=True)
         p = _exp_fn(s - m)
@@ -284,6 +289,7 @@ def _kernel_1kv_flat(
         acc = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
         l = jnp.where(l == 0.0, 1.0, l)
         live = m > NEG_INF * 0.5
@@ -428,6 +434,7 @@ def _kernel_1kv_q8(
         s32 = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
+            precision=jax.lax.Precision.DEFAULT,
         )
         sqc = sqs[g * block_q:(g + 1) * block_q]      # (bq, 1)
         skr = sk_ref[0, g]                            # (bkv,) lanes
@@ -439,6 +446,7 @@ def _kernel_1kv_q8(
         acc = jax.lax.dot_general(
             pv, v_ref[0, g].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
         l = jnp.where(l == 0.0, 1.0, l)
         live = m > NEG_INF * 0.5

@@ -86,6 +86,7 @@ def _lse_kernel(img_start_ref, txt_start_ref, txt_end_ref, q_offset_ref,
         s = jax.lax.dot_general(
             q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         ) * scale
         ok = _tile_mask(q_start, k_start, block_q, block_kv, num_images,
                         causal, img_start_ref, txt_start_ref, txt_end_ref,
@@ -130,19 +131,22 @@ def _dq_kernel(img_start_ref, txt_start_ref, txt_end_ref, q_offset_ref,
         v = v_ref[0, 0]
         g = g_ref[0, 0]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT
         ) * scale
         ok = _tile_mask(q_start, k_start, block_q, block_kv, num_images,
                         causal, img_start_ref, txt_start_ref, txt_end_ref,
                         kv_valid_ref, b)
         p = jnp.where(ok, jnp.exp(s - lse_ref[0, 0][:, :1]), 0.0)
         dp = jax.lax.dot_general(
-            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT
         )
         ds = p * (dp - delta_ref[0, 0][:, :1]) * scale
         acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
 
     @pl.when(kj == nk - 1)
@@ -174,7 +178,8 @@ def _dkv_kernel(img_start_ref, txt_start_ref, txt_end_ref, q_offset_ref,
         v = v_ref[0, 0]
         g = g_ref[0, 0]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT
         ) * scale
         ok = _tile_mask(q_start, k_start, block_q, block_kv, num_images,
                         causal, img_start_ref, txt_start_ref, txt_end_ref,
@@ -183,14 +188,17 @@ def _dkv_kernel(img_start_ref, txt_start_ref, txt_end_ref, q_offset_ref,
         dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
             p.astype(g.dtype), g, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
         dp = jax.lax.dot_general(
-            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT
         )
         ds = p * (dp - delta_ref[0, 0][:, :1]) * scale
         dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
 
     @pl.when(qi == nq - 1)
