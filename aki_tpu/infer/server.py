@@ -133,6 +133,9 @@ class ServingEngine:
         # host bookkeeping
         self.slot_req: list[Request | None] = [None] * num_slots
         self.queue: "queue.Queue[Request]" = queue.Queue()
+        # ready-to-admit requests drained from the queue (scheduler-thread
+        # local; the length-window admission picks from here)
+        self._ready: list[Request] = []
         self._rng = jax.random.PRNGKey(0)
         # background uploader: host images batch-transfer on a side thread
         # (device_put blocks its caller ~0.5 s + bytes/45 MB/s through a
@@ -391,24 +394,40 @@ class ServingEngine:
         prefill dispatch; measured as fragmented admissions [(1,1),(2,2),
         (15,1)] on drain 0 vs [(16,4),(12,2)] once upload-aware).
         Recomputed per batch so a leftover tail below ``admit_batch`` is
-        only admitted when nothing more is coming."""
+        only admitted when nothing more is coming.
+
+        With several prompt buckets configured, admission picks the
+        ``admit_batch`` SHORTEST prompts from a bounded FIFO window
+        (2 x admit_batch oldest) — a batch's prefill runs at the bucket of
+        its LONGEST prompt, so mixing one long prompt into fifteen short
+        ones wastes the whole batch's headroom. The window bounds
+        staleness: a long prompt waits at most one extra admission."""
         while True:
+            # drain the thread-safe queue into the local ready list
+            while True:
+                try:
+                    self._ready.append(self.queue.get_nowait())
+                except queue.Empty:
+                    break
             free = [i for i, r in enumerate(self.slot_req) if r is None]
-            ready = self.queue.qsize()
+            ready = len(self._ready)
             if not free or ready == 0:
                 return
             if self.admit_policy == "batched":
                 incoming = ready + self._pending_uploads()
                 if min(len(free), ready) < min(self.admit_batch, incoming):
                     return   # a fuller batch is forming — hold
-            take_slots, take_reqs = [], []
-            while free and len(take_reqs) < self.admit_batch:
-                try:
-                    req = self.queue.get_nowait()
-                except queue.Empty:
-                    break
-                take_reqs.append(req)
-                take_slots.append(free.pop(0))
+            n_take = min(len(free), self.admit_batch, ready)
+            if len(self.prompt_buckets) > 1:
+                window = list(range(min(ready, 2 * self.admit_batch)))
+                window.sort(key=lambda i: len(self._ready[i].input_ids))
+                picked = sorted(window[:n_take])  # keep FIFO order inside
+            else:
+                picked = list(range(n_take))
+            take_reqs = [self._ready[i] for i in picked]
+            for i in reversed(picked):
+                del self._ready[i]
+            take_slots = free[:len(take_reqs)]
             if not take_reqs:
                 return
             self._admit_many(take_slots, take_reqs)
@@ -498,7 +517,8 @@ class ServingEngine:
         return n_active
 
     def has_work(self) -> bool:
-        return (not self.queue.empty() or self._pending_uploads() > 0
+        return (not self.queue.empty() or bool(self._ready)
+                or self._pending_uploads() > 0
                 or bool(self._pending)
                 or any(r is not None for r in self.slot_req))
 
@@ -508,7 +528,7 @@ class ServingEngine:
         steps = 0
         while self.has_work() and steps < max_steps:
             n = self.step()
-            if (n == 0 and self.queue.empty()
+            if (n == 0 and self.queue.empty() and not self._ready
                     and self._pending_uploads() > 0):
                 # nothing admissible yet: the uploader is mid-transfer —
                 # yield instead of hot-spinning empty scheduler ticks

@@ -156,6 +156,11 @@ def main():
         # uint8 ingress (image_uint8=True): clients send resized RGB
         # pixels, normalization runs on device — 4x fewer H2D bytes, and
         # the uploader thread hides the transfer behind decode
+        # single prompt bucket: two buckets + windowed shortest-first
+        # admission measured WORSE on this drain (12.3 vs 14.0 median —
+        # the mixed 256-511 window rarely stays under the 3/4 bucket and
+        # long prompts cluster into late, poorly-batched admissions); the
+        # engine keeps the feature for genuinely bimodal traffic
         eng = ServingEngine(
             params, cfg, num_slots=BATCH, max_len=MAX_LEN,
             prompt_bucket=TEXT_LEN,

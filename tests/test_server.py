@@ -147,3 +147,32 @@ def test_predict_cli_end_to_end(tmp_path):
     assert len(lines) == 3
     assert {l["id"] for l in lines} == {0, 1, 2}
     assert all(isinstance(l["answer"], str) for l in lines)
+
+
+def test_server_bucketed_windowed_admission():
+    """Mixed-length prompts with two buckets + windowed shortest-first
+    admission: every request still gets the one-shot greedy answer, and
+    short-prompt batches run the smaller prefill bucket."""
+    params = init_aki(jax.random.PRNGKey(0), CFG)
+    engine = ServingEngine(
+        params, CFG, num_slots=2, max_len=48,
+        prompt_bucket=16, prompt_buckets=(12, 16),
+        admit_batch=2, admit_policy="batched", policy=F32,
+    )
+
+    reqs, prompts = [], []
+    for i in range(6):
+        t = 10 if i % 2 == 0 else 15  # alternate short/long
+        ids, img = make_prompt(np.random.RandomState(300 + i), t=t)
+        prompts.append((ids, img))
+        reqs.append(engine.submit(ids, img, max_new_tokens=4))
+    engine.run_until_drained()
+
+    for (ids, img), req in zip(prompts, reqs):
+        got = req.result(timeout=1)
+        want, _ = generate(
+            params, CFG, jnp.array([ids], jnp.int32), jnp.array(img[None]),
+            jnp.ones((1, len(ids)), jnp.int32), max_new_tokens=4, max_len=48,
+            policy=F32, use_flash=False,
+        )
+        assert got == list(np.asarray(want)[0]), (got, np.asarray(want)[0])
