@@ -98,9 +98,12 @@ def _kernel(
     f = kv_heads * head_dim
 
     # one grid cell per batch element; the KV-block loop is manual so
-    # several HBM->VMEM DMAs stay in flight at once (pallas_call's
-    # automatic pipeline keeps ~1: measured 265 GB/s DMA floor vs the
-    # ~800 GB/s this reaches with 3 slots x 2 streams)
+    # several HBM->VMEM DMAs stay in flight at once. (A dedicated DMA
+    # harness, exp/dma_rate.py, later measured single-stream Pallas
+    # HBM->VMEM saturating at ~175-200 GB/s regardless of auto vs manual
+    # pipelining or slot count — the XLA decode path at ~327 GB/s is why
+    # decode_attention_flat_xla is the default; this kernel remains the
+    # DECODE_IMPL="pallas" option.)
     n_live = (length + block_kv - 1) // block_kv
 
     def k_dma(j, slot):

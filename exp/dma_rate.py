@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-R, C = 96 * 768, 3072   # ~226 MB bf16 / 113 MB int8 per pass
+R, C = 96 * 768, 3072
+L = 10  # slabs per jit call (amortize tunnel dispatch)
 N = 8
 
 
@@ -50,8 +51,8 @@ def auto_kernel(x_ref, o_ref):
 
 
 def make_auto(x, block_r):
-    grid = (x.shape[0] // block_r,)
-    return jax.jit(pl.pallas_call(
+    grid = (x.shape[1] // block_r,)
+    call = pl.pallas_call(
         auto_kernel,
         grid=grid,
         in_specs=[pl.BlockSpec((block_r, C), lambda i: (i, 0))],
@@ -61,7 +62,14 @@ def make_auto(x, block_r):
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    ))
+    )
+
+    @jax.jit
+    def run(x):
+        outs = [call(x[i]) for i in range(L)]
+        return sum(outs)
+
+    return run
 
 
 def manual_kernel(x_hbm, o_ref, bufs, sems, *, block_r, nbuf, nblocks):
@@ -92,10 +100,10 @@ def manual_kernel(x_hbm, o_ref, bufs, sems, *, block_r, nbuf, nblocks):
 
 
 def make_manual(x, block_r, nbuf):
-    nblocks = x.shape[0] // block_r
+    nblocks = x.shape[1] // block_r
     kernel = functools.partial(manual_kernel, block_r=block_r, nbuf=nbuf,
                                nblocks=nblocks)
-    return jax.jit(pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec((1, C), lambda: (0, 0)),
@@ -107,21 +115,28 @@ def make_manual(x, block_r, nbuf):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    ))
+    )
+
+    @jax.jit
+    def run(x):
+        outs = [call(x[i]) for i in range(L)]
+        return sum(outs)
+
+    return run
 
 
 def main():
     for dtype, nbytes in ((jnp.int8, 1), (jnp.bfloat16, 2)):
-        x = jax.random.randint(jax.random.PRNGKey(0), (R, C), -127, 127,
+        x = jax.random.randint(jax.random.PRNGKey(0), (L, R, C), -127, 127,
                                jnp.int8).astype(dtype)
-        total = R * C * nbytes
+        total = L * R * C * nbytes
         print(f"--- dtype {dtype.__name__}, {total/1e6:.0f} MB ---",
               flush=True)
 
         if dtype == jnp.bfloat16:
-            bench("xla max-reduce", jax.jit(
-                lambda x: jnp.max(x, axis=0, keepdims=True)
-                .astype(jnp.float32)), x, total)
+            bench("xla row0-sum (stream ref)", jax.jit(
+                lambda x: sum(x[i, :1, :].astype(jnp.float32) + x[i, R//2:R//2+1, :].astype(jnp.float32)
+                              for i in range(L))), x, 0.0001 + 0 * total)
 
         for br in (768, 1536):
             bench(f"auto pipeline block_r={br}", make_auto(x, br), x, total)
