@@ -117,9 +117,11 @@ def siglip_forward(
             attn = flash_mma_attention_tp(q, k, v, mesh=tp_mesh,
                                           causal=False)
         elif use_flash:
-            from ..ops.flash_mma import flash_mma_attention
+            # plain XLA einsums beat the (DMA-ceiling-bound) flash kernel
+            # at encoder shapes — see encoder_attention_xla's docstring
+            from ..ops.attention import encoder_attention_xla
 
-            attn = flash_mma_attention(q, k, v, causal=False)
+            attn = encoder_attention_xla(q, k, v)
         else:
             attn = dense_attention(q, k, v, causal=False)
         x = x + (mm(attn.reshape(b, t, d), lp["wo"]) + lp["bo"])

@@ -112,4 +112,44 @@ def main():
 
 if __name__ == "__main__":
     print(f"backend={jax.default_backend()}", flush=True)
-    main()
+    if "--xla" not in sys.argv:
+        main()
+
+
+def xla_variants():
+    """Non-causal XLA attention at vision shapes, in-scan."""
+    rng = np.random.RandomState(0)
+    q4 = jnp.array(rng.randn(B, T, H, D).astype(np.float32), jnp.bfloat16)
+    k4 = jnp.array(rng.randn(B, T, H, D).astype(np.float32), jnp.bfloat16)
+    v4 = jnp.array(rng.randn(B, T, H, D).astype(np.float32), jnp.bfloat16)
+
+    def xla_attn(q, k, v):
+        s = jnp.einsum("bthd,bshd->bhts", q, k,
+                       preferred_element_type=jnp.float32) * (D ** -0.5)
+        p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+        return jnp.einsum("bhts,bshd->bthd", p, v,
+                          preferred_element_type=jnp.float32).astype(q.dtype)
+
+    def xla_attn_bf16s(q, k, v):
+        s = jnp.einsum("bthd,bshd->bhts", q, k,
+                       preferred_element_type=jnp.float32) * (D ** -0.5)
+        m = jnp.max(s, -1, keepdims=True)
+        p = jnp.exp((s - m)).astype(jnp.bfloat16)
+        l = jnp.sum(p.astype(jnp.float32), -1, keepdims=True)
+        o = jnp.einsum("bhts,bshd->bthd", p, v,
+                       preferred_element_type=jnp.float32)
+        return (o / l.transpose(0, 2, 1, 3)).astype(q.dtype)
+
+    scan_bench("xla einsum attention (f32 softmax)", xla_attn, q4, k4, v4)
+    scan_bench("xla einsum attention (bf16 probs)", xla_attn_bf16s,
+               q4, k4, v4)
+    from aki_tpu.ops.flash_mma import flash_mma_attention
+    o_f = flash_mma_attention(q4, k4, v4, causal=False)
+    o_x = xla_attn(q4, k4, v4)
+    print("xla vs flash maxerr:",
+          float(jnp.max(jnp.abs((o_f - o_x).astype(jnp.float32)))),
+          flush=True)
+
+
+if __name__ == "__main__" and "--xla" in sys.argv:
+    xla_variants()

@@ -326,3 +326,16 @@ def test_flash_q8_noncausal_plain():
                                             interpret=True))
     want = np.asarray(dense_attention(q, k, v, causal=False))
     assert np.abs(got - want).max() < 0.05 * np.abs(want).max()
+
+
+def test_encoder_attention_xla_matches_dense():
+    """The vision-tower XLA fast path (bf16 probabilities) matches the
+    f32 dense oracle to bf16-probability tolerance."""
+    from aki_tpu.ops.attention import encoder_attention_xla
+
+    rng = np.random.RandomState(14)
+    b, t, h, d = 2, 100, 4, 24
+    q, k, v = rand_qkv(rng, b, t, t, h, d)
+    got = np.asarray(encoder_attention_xla(q, k, v).astype(jnp.float32))
+    want = np.asarray(dense_attention(q, k, v, causal=False))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
