@@ -14,9 +14,9 @@ eager AKI-4B at bs8, ~35% MFU prefill + memory-bound decode on 2 TB/s HBM
 
 Env knobs:
   AKI_BENCH_BATCH   batch size (default 48 — the measured throughput
-                    optimum with the int8 KV cache: 14.6 img/s at bs16,
-                    15.3 at bs24, 15.8 at bs32, 16.1 at bs48; bs64 OOMs.
-                    bf16 KV OOMs past bs16.)
+                    optimum with the int8 KV cache: 19.8 img/s at bs32,
+                    20.8 at bs48, ~equal at bs56; bs64 OOMs. bf16 KV OOMs
+                    past bs16.)
   AKI_BENCH_QUANT   w8 | w8a8 | w4 | w4a8 | bf16   (default w8a8:
                     dynamic-int8 matmuls on the MXU's native int8 path,
                     vision tower included). The w4 modes halve decode
@@ -180,11 +180,12 @@ def main():
                          int(rng2.randint(16, 48))))
         # compile all admission sizes + the decode chunk up front
         eng.warmup()
-        # fixed request schedule, 3 independent drains, report the MEDIAN
-        # (±15% host-contention variance was mistaken for an engine
-        # regression when the driver sampled a single bad run)
+        # fixed request schedule, 5 independent drains, report the MEDIAN
+        # (±20% host-contention variance was mistaken for an engine
+        # regression when the driver sampled a single bad run; observed
+        # 11.5-16.7 img/s across identical drains)
         drains = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             handles = [eng.submit(r, im, max_new_tokens=m)
                        for r, im, m in reqs]
@@ -203,7 +204,7 @@ def main():
             f"{'int8' if KV8 else 'bf16'} KV; "
             f"TTFT bs1 p50 = {p50:.1f} ms, p95 = {p95:.1f} ms"
             + (f"; server continuous-batching {server_img_s:.1f} img/s "
-               f"mixed arrivals (median of 3 drains: {server_note})"
+               f"mixed arrivals (median of 5 drains: {server_note})"
                if server_img_s else "")
             + ")"
         ),
