@@ -136,6 +136,9 @@ class ServingEngine:
         # ready-to-admit requests drained from the queue (scheduler-thread
         # local; the length-window admission picks from here)
         self._ready: list[Request] = []
+        # id() of a head-of-line request the length-window admission has
+        # already passed over once (anti-starvation marker)
+        self._head_id = None
         self._rng = jax.random.PRNGKey(0)
         # background uploader: host images batch-transfer on a side thread
         # (device_put blocks its caller ~0.5 s + bytes/45 MB/s through a
@@ -400,8 +403,10 @@ class ServingEngine:
         ``admit_batch`` SHORTEST prompts from a bounded FIFO window
         (2 x admit_batch oldest) — a batch's prefill runs at the bucket of
         its LONGEST prompt, so mixing one long prompt into fifteen short
-        ones wastes the whole batch's headroom. The window bounds
-        staleness: a long prompt waits at most one extra admission."""
+        ones wastes the whole batch's headroom. Anti-starvation: the
+        head-of-line request is force-included after being passed over
+        once, so under sustained short-prompt traffic a long prompt waits
+        at most two admissions."""
         while True:
             # drain the thread-safe queue into the local ready list
             while True:
@@ -421,7 +426,15 @@ class ServingEngine:
             if len(self.prompt_buckets) > 1:
                 window = list(range(min(ready, 2 * self.admit_batch)))
                 window.sort(key=lambda i: len(self._ready[i].input_ids))
-                picked = sorted(window[:n_take])  # keep FIFO order inside
+                picked = window[:n_take]
+                if 0 not in picked and id(self._ready[0]) == self._head_id:
+                    # head-of-line was already skipped once — force it in
+                    # (a steady short-prompt stream would otherwise starve
+                    # a long prompt forever)
+                    picked[-1] = 0
+                head = self._ready[0]
+                self._head_id = id(head) if 0 not in picked else None
+                picked = sorted(picked)  # keep FIFO order inside the batch
             else:
                 picked = list(range(n_take))
             take_reqs = [self._ready[i] for i in picked]

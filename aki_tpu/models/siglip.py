@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..ops.attention import dense_attention
 from .common import Params, Policy, layernorm
 from .configs import SigLIPVisionConfig
-from .quant import gelu_quant_acts, mm, norm_quant_acts
+from .quant import gelu_quant_acts, is_quantized, mm, norm_quant_acts
 
 
 def init_siglip(key, cfg: SigLIPVisionConfig, dtype=jnp.float32) -> Params:
@@ -116,12 +116,21 @@ def siglip_forward(
 
             attn = flash_mma_attention_tp(q, k, v, mesh=tp_mesh,
                                           causal=False)
-        elif use_flash:
+        elif use_flash and is_quantized(lp.get("wqkv", lp.get("wq"))):
+            # SERVING fast path (detected via the quantized weights):
             # plain XLA einsums beat the (DMA-ceiling-bound) flash kernel
-            # at encoder shapes — see encoder_attention_xla's docstring
+            # at encoder shapes — see encoder_attention_xla's docstring.
+            # Training keeps the flash kernel: its custom_vjp stores no
+            # (T, S) tensors in HBM, while this path would save O(T^2)
+            # f32 score residuals per layer and add bf16-prob rounding
+            # to gradients.
             from ..ops.attention import encoder_attention_xla
 
             attn = encoder_attention_xla(q, k, v)
+        elif use_flash:
+            from ..ops.flash_mma import flash_mma_attention
+
+            attn = flash_mma_attention(q, k, v, causal=False)
         else:
             attn = dense_attention(q, k, v, causal=False)
         x = x + (mm(attn.reshape(b, t, d), lp["wo"]) + lp["bo"])

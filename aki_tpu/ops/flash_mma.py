@@ -454,12 +454,13 @@ def _kernel_1kv_q8(
 
 
 def _quantize_heads(x):
-    """(B, T, H, D) -> (int8 same shape, f32 (B, T, H) per-row scales)."""
-    x32 = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(x32), axis=-1)
-    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
-    q = jnp.clip(jnp.round(x32 / scale[..., None]), -127, 127)
-    return q.astype(jnp.int8), scale
+    """(B, T, H, D) -> (int8 same shape, f32 (B, T, H) per-row scales).
+    Delegates to quantize_acts — the single source of the symmetric
+    max-abs/127 rule shared with the int8 KV cache and the W8A8 matmuls."""
+    from ..models.quant import quantize_acts
+
+    q, scale = quantize_acts(x)
+    return q, scale[..., 0]
 
 
 def flash_mma_attention_q8(
@@ -517,7 +518,8 @@ def flash_mma_attention_q8(
     qt, kt, vt = prep(q8), prep(k8), prep(v8)
     # fold softmax scale (and the exp2 log2e) into the q scales
     sq = sq * jnp.asarray(scale * (_LOG2E if EXP2 else 1.0), jnp.float32)
-    # sq: (B, T, H) -> (B, H*T_pad, 1) column layout (pad rows get 1.0)
+    # sq: (B, T, H) -> (B, H*T_pad, 1) column layout (pad rows zero-fill;
+    # their outputs are dropped by the final [:, :t] slice)
     sq_c = _pad_to(sq.transpose(0, 2, 1), t_pad, 2).reshape(
         b, h * t_pad, 1)
     # sk/sv: (B, S, H) -> (B, H, S_pad) per-head lane vectors

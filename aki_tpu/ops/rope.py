@@ -101,7 +101,12 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     cos = cos[:, :, None, :].astype(jnp.float32)
     sin = sin[:, :, None, :].astype(jnp.float32)
     r = jnp.asarray(_rotate_matrix(x.shape[-1]), x.dtype)
+    # bf16 operands: DEFAULT precision is already exact (one +-1 term per
+    # row, f32 accumulate). f32 operands (fp32 fine-tuning): DEFAULT would
+    # quantize x to bf16 first — pin HIGHEST to keep the permutation exact.
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     rot = jnp.einsum("bthd,de->bthe", x, r,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32, precision=prec)
     out = x.astype(jnp.float32) * cos + rot * sin
     return out.astype(x.dtype)

@@ -176,3 +176,23 @@ def test_server_bucketed_windowed_admission():
             policy=F32, use_flash=False,
         )
         assert got == list(np.asarray(want)[0]), (got, np.asarray(want)[0])
+
+
+def test_server_windowed_admission_no_starvation():
+    """A long prompt at head-of-line among a stream of short prompts must
+    be force-admitted after one skip (anti-starvation guard)."""
+    params = init_aki(jax.random.PRNGKey(0), CFG)
+    engine = ServingEngine(
+        params, CFG, num_slots=2, max_len=48,
+        prompt_bucket=16, prompt_buckets=(12, 16),
+        admit_batch=2, admit_policy="batched", policy=F32,
+    )
+    # head is LONG; everything after is short
+    lengths = [15] + [10] * 7
+    reqs = []
+    for i, t in enumerate(lengths):
+        ids, img = make_prompt(np.random.RandomState(400 + i), t=t)
+        reqs.append(engine.submit(ids, img, max_new_tokens=3))
+    engine.run_until_drained()
+    for req in reqs:
+        assert len(req.result(timeout=1)) > 0  # everyone completed
