@@ -71,9 +71,33 @@ class ServingEngine:
                  sampling: SamplingConfig = SamplingConfig(),
                  kv_int8: bool = False, admit_policy: str = "greedy",
                  prompt_buckets: tuple[int, ...] | None = None,
-                 image_uint8: bool = False):
+                 image_uint8: bool = False, tp_mesh=None):
         if admit_policy not in ("greedy", "batched"):
             raise ValueError(f"admit_policy {admit_policy!r}")
+        # Tensor-parallel serving over a device mesh: params shard per the
+        # megatron rules (parallel/sharding.py), the slot KV cache shards
+        # over heads on the ``tensor`` axis, prefill runs the head-sharded
+        # flash kernel (shard_map) and decode partitions by GSPMD
+        # propagation from the cache/param shardings — no NCCL analogue,
+        # collectives ride ICI (SURVEY §2.6 TPU mapping). The host loop is
+        # unchanged: slots, admission, and chunked decode are
+        # placement-agnostic bookkeeping.
+        self.tp_mesh = tp_mesh
+        self._rep = None
+        if tp_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from ..parallel.sharding import shard_params
+
+            if "tensor" not in tp_mesh.axis_names:
+                raise ValueError(
+                    f"tp_mesh needs a 'tensor' axis, got {tp_mesh.axis_names}"
+                )
+            # replicated placement for host-fed arrays (committed
+            # single-device inputs cannot mix with mesh-sharded params
+            # under one jit)
+            self._rep = NamedSharding(tp_mesh, PartitionSpec())
+            params = shard_params(params, tp_mesh)
         self.params = params
         self.cfg = cfg
         self.policy = policy
@@ -120,16 +144,40 @@ class ServingEngine:
         else:
             cache = KVCache.create(cfg.phi3, num_slots, max_len,
                                    dtype=policy.compute_dtype)
+        if tp_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..models.phi3 import KVCacheQ
+
+            # slot cache shards over heads on the tensor axis (the flat
+            # int8 layout's last dim is Hkv*D — head-major, so a last-dim
+            # shard IS a head shard); scales follow their rows
+            if isinstance(cache, KVCacheQ):
+                row = NamedSharding(tp_mesh, P(None, None, None, "tensor"))
+                cache = KVCacheQ(
+                    k=jax.device_put(cache.k, row),
+                    ks=jax.device_put(cache.ks, row),
+                    v=jax.device_put(cache.v, row),
+                    vs=jax.device_put(cache.vs, row),
+                )
+            else:
+                hsh = NamedSharding(
+                    tp_mesh, P(None, None, None, "tensor", None)
+                )
+                cache = KVCache(
+                    k=jax.device_put(cache.k, hsh),
+                    v=jax.device_put(cache.v, hsh),
+                )
         self.state = GenState(
             cache=cache,
-            kv_valid=jnp.zeros((num_slots, max_len), jnp.int32),
-            lengths=jnp.zeros((num_slots,), jnp.int32),
-            last_logits=jnp.zeros(
+            kv_valid=self._put(jnp.zeros((num_slots, max_len), jnp.int32)),
+            lengths=self._put(jnp.zeros((num_slots,), jnp.int32)),
+            last_logits=self._put(jnp.zeros(
                 (num_slots, cfg.output_vocab), jnp.float32
-            ),
+            )),
         )
         s = cfg.siglip.image_size
-        self._zero_img = jax.device_put(np.zeros((s, s, 3), self._host_dtype))
+        self._zero_img = self._put(np.zeros((s, s, 3), self._host_dtype))
         # host bookkeeping
         self.slot_req: list[Request | None] = [None] * num_slots
         self.queue: "queue.Queue[Request]" = queue.Queue()
@@ -146,6 +194,7 @@ class ServingEngine:
         # hides behind in-flight decode). Requests enter self.queue only
         # once their pixels are device-resident.
         self._upload_q: list[Request] = []
+        self._upload_inflight = 0
         self._upload_cv = threading.Condition()
         self._upload_thread: threading.Thread | None = None
         self._shutdown = False
@@ -160,6 +209,14 @@ class ServingEngine:
         # one jitted decode per chunk length (budget-aware chunking sizes
         # each chunk to the next completion boundary)
         self._decode_fns: dict[int, object] = {}
+
+    def _put(self, x):
+        """Host array -> device; replicated onto the mesh under TP (a
+        committed single-device array cannot feed a jit whose other
+        operands are mesh-sharded)."""
+        if self._rep is not None:
+            return jax.device_put(x, self._rep)
+        return jax.device_put(x)
 
     def _get_decode(self, n: int):
         if n not in self._decode_fns:
@@ -179,7 +236,7 @@ class ServingEngine:
             img = img.astype(jnp.float32) / 127.5 - 1.0
         return prefill(params, self.cfg, ids, img, valid,
                        max_len=self.max_len, policy=self.policy,
-                       kv_int8=self.kv_int8)
+                       kv_int8=self.kv_int8, tp_mesh=self.tp_mesh)
 
     def _insert_impl(self, state: GenState, new: GenState, slots):
         """Scatter all admit_batch rows of ``new`` into their slots; padded
@@ -289,11 +346,18 @@ class ServingEngine:
                     return
                 batch = self._upload_q[: self.admit_batch]
                 del self._upload_q[: self.admit_batch]
+                # count the popped batch as still-pending until its rows
+                # land in the admission queue: between the pop and the
+                # queue.put the transfer is in flight, and a drain loop
+                # that polls _pending_uploads() must not conclude "no
+                # work" mid-transfer (a replicated 8-way device_put is
+                # slow enough to lose the race reliably)
+                self._upload_inflight = len(batch)
             try:
                 rows = np.stack([
                     np.asarray(r.image, self._host_dtype) for r in batch
                 ])
-                chunk = jax.device_put(rows)  # ONE transfer per group
+                chunk = self._put(rows)  # ONE transfer per group
                 for i, r in enumerate(batch):
                     r._image_dev = chunk[i]   # device-side slice, no copy
                     self.queue.put(r)
@@ -302,10 +366,13 @@ class ServingEngine:
                 # in _admit_many (a dead uploader must not hang the drain)
                 for r in batch:
                     self.queue.put(r)
+            finally:
+                with self._upload_cv:
+                    self._upload_inflight = 0
 
     def _pending_uploads(self) -> int:
         with self._upload_cv:
-            return len(self._upload_q)
+            return len(self._upload_q) + self._upload_inflight
 
     def close(self):
         with self._upload_cv:
@@ -372,7 +439,7 @@ class ServingEngine:
             # direct _admit_many callers may still hand host rows: ONE
             # batched H2D (per-row device_puts pay a full per-transfer
             # setup each — seconds per drain through a tunneled runtime)
-            imgs = jax.device_put(np.stack([
+            imgs = self._put(np.stack([
                 np.asarray(im, self._host_dtype) for im in img_rows
             ]))
         else:

@@ -74,6 +74,69 @@ def test_tp_generate_matches_single_device_tokens():
     np.testing.assert_array_equal(np.asarray(toks_tp), np.asarray(toks_1d))
 
 
+def test_tp_serving_engine_matches_single_device():
+    """Continuous-batching `ServingEngine` over a tensor axis: params shard
+    per the megatron rules, the slot KV cache shards over heads, and the
+    greedy tokens match the unsharded one-shot engine exactly."""
+    from aki_tpu.infer.engine import generate as oneshot_generate
+    from aki_tpu.infer.server import ServingEngine
+
+    params = init_aki(jax.random.PRNGKey(3), CFG)
+    mesh = create_mesh(MeshConfig(data=2, fsdp=1, tensor=4))
+    engine = ServingEngine(params, CFG, num_slots=2, max_len=48,
+                           prompt_bucket=12, policy=F32, tp_mesh=mesh)
+
+    reqs, prompts = [], []
+    for i in range(3):  # more requests than slots -> slot reuse under TP
+        rng = np.random.RandomState(300 + i)
+        ids = rng.randint(5, CFG.initial_tokenizer_len - 1, size=(12,))
+        ids[1] = CFG.media_token_id
+        ids[8] = CFG.assistant_token_id
+        s = CFG.siglip.image_size
+        img = rng.randn(s, s, 3).astype(np.float32)
+        prompts.append((list(ids), img))
+        reqs.append(engine.submit(list(ids), img, max_new_tokens=4))
+    engine.run_until_drained()
+
+    for (ids, img), req in zip(prompts, reqs):
+        got = req.result(timeout=1)
+        want, _ = oneshot_generate(
+            params, CFG, jnp.array([ids], jnp.int32), jnp.array(img[None]),
+            jnp.ones((1, len(ids)), jnp.int32), max_new_tokens=4, max_len=48,
+            policy=F32, use_flash=False,
+        )
+        assert got == list(np.asarray(want)[0]), (got, np.asarray(want)[0])
+
+
+def test_tp_serving_engine_kv_int8():
+    """TP + int8 slot cache: the flat (L, slots, S, Hkv*D) int8 buffers
+    shard on their last (head-major) dim; admission scatter and the fused
+    decode run under GSPMD propagation. Tokens match the unsharded int8
+    server (same quantization, so exact)."""
+    from aki_tpu.infer.server import ServingEngine
+
+    params = init_aki(jax.random.PRNGKey(4), CFG)
+
+    def run(tp_mesh):
+        eng = ServingEngine(params, CFG, num_slots=2, max_len=48,
+                            prompt_bucket=12, policy=F32, kv_int8=True,
+                            tp_mesh=tp_mesh)
+        out = []
+        for i in range(2):
+            rng = np.random.RandomState(400 + i)
+            ids = rng.randint(5, CFG.initial_tokenizer_len - 1, size=(12,))
+            ids[1] = CFG.media_token_id
+            ids[8] = CFG.assistant_token_id
+            s = CFG.siglip.image_size
+            img = rng.randn(s, s, 3).astype(np.float32)
+            out.append(eng.submit(list(ids), img, max_new_tokens=4))
+        eng.run_until_drained()
+        return [r.result(timeout=1) for r in out]
+
+    mesh = create_mesh(MeshConfig(data=2, fsdp=1, tensor=4))
+    assert run(mesh) == run(None)
+
+
 def test_tp_prefill_state_is_head_sharded():
     """The KV cache coming out of a TP prefill carries head-sharded (or at
     least mesh-placed) buffers — no silent full replication of the cache."""
