@@ -57,8 +57,11 @@ DECODE_TOKENS = 32
 # 512 + 143 vision + decode room. Only the Pallas flat-128 kernel
 # (PAD128) blocks the cache in 128-multiples; both the bf16 path and the
 # XLA int8 inline-dequant path read every slot each step, so the tighter
-# 704 saves ~8% of the KV stream.
-MAX_LEN = 768 if PAD128 else 704
+# 704 saves ~8% of the KV stream. (688 = the exact 512+144+32 need was
+# probed and is measurement-neutral vs 704 — see PERF.md.)
+MAX_LEN = int(os.environ.get(
+    "AKI_BENCH_MAXLEN", "768" if PAD128 else "704"
+))
 
 
 def main():

@@ -99,11 +99,17 @@ def main():
         sizes = {}
         for b, _ in admits:
             sizes[b] = sizes.get(b, 0) + 1
+        # occupancy histogram by quarters: ticks running the full-width
+        # decode at low occupancy are the tail-compaction opportunity
+        q = SLOTS // 4
+        hist = [sum(1 for t in occ if (i * q) < t <= (i + 1) * q)
+                for i in range(4)]
         print(
             f"drain{drain}: {NREQ / wall:5.2f} img/s | wall {wall:6.2f}s | "
             f"host-loop {t_dispatch:5.2f}s (admit-dispatch {adm_ms / 1e3:5.2f}s) | "
             f"decode ticks {n_dec} (= {n_dec * CHUNK} steps) "
-            f"occ mean {np.mean(occ):4.1f}/{SLOTS} min {min(occ)} | "
+            f"occ mean {np.mean(occ):4.1f}/{SLOTS} min {min(occ)} "
+            f"hist(quartiles) {hist} | "
             f"admissions {sorted(sizes.items())}",
             flush=True,
         )

@@ -11,9 +11,19 @@ import sys
 os.environ["JAX_PLATFORMS"] = os.environ.get("AKI_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA CPU collectives CHECK-fail (SIGABRT, killing the whole pytest run)
+# when a participant misses the rendezvous for 40 s. On a 1-core CI host
+# running 8 virtual devices, one straggler device program under external
+# load can legitimately take that long to be scheduled — observed as a
+# flaky `F rendezvous.cc:127 Termination timeout for collective permute`
+# abort in the sharded train-step tests (~1 in 3 under host contention).
+# Raise warn/terminate to 120/600 s: a real deadlock still dies, a
+# time-sliced straggler doesn't take down CI.
+if "collective_call_terminate_timeout" not in flags:
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=600")
+os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

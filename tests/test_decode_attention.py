@@ -197,6 +197,43 @@ def test_engine_kv_int8_close_to_bf16_path():
         assert rel < 0.05, (step, rel)
 
 
+def test_kv_int8_no_drift_over_long_decode():
+    """Accumulated-error check (ADVICE r2): 32 teacher-forced steps through
+    the int8 cache must not drift — every step's logits stay within the
+    single-step quantization band vs the fp32 engine, and the late-step
+    error is no worse than the early-step error (each decode re-reads the
+    cache fresh; errors must not compound through the KV writes)."""
+    import functools
+
+    rng = np.random.RandomState(7)
+    params = init_aki(jax.random.PRNGKey(0), CFG)
+    ids, imgs, valid = _batch(rng)
+    n_steps = 32
+
+    s_fp = prefill(params, CFG, ids, imgs, valid, max_len=64, policy=F32,
+                   use_flash=False)
+    s_q8 = prefill(params, CFG, ids, imgs, valid, max_len=64, policy=F32,
+                   use_flash=False, kv_int8=True)
+    step_fp = jax.jit(functools.partial(decode_step, policy=F32),
+                      static_argnums=(1,))
+    forced = rng.randint(5, CFG.initial_tokenizer_len - 1, size=(n_steps, 2))
+    rels = []
+    for step in range(n_steps):
+        tok = jnp.asarray(forced[step], jnp.int32)
+        s_fp = step_fp(params, CFG, s_fp, tok)
+        s_q8 = step_fp(params, CFG, s_q8, tok)
+        lf = np.asarray(s_fp.last_logits)
+        lq = np.asarray(s_q8.last_logits)
+        rels.append(np.abs(lf - lq).max() / (np.abs(lf).max() + 1e-9))
+    rels = np.asarray(rels)
+    assert rels.max() < 0.06, rels
+    # no compounding: the last-quarter error band tracks the first-quarter
+    # band (ratio bound is loose — int8 noise varies per step — but a
+    # genuinely accumulating error grows far past it over 24 steps)
+    early, late = rels[:8].mean(), rels[-8:].mean()
+    assert late < 3.0 * max(early, 5e-3), (early, late)
+
+
 def test_generate_kv_int8_runs_and_matches_shapes():
     rng = np.random.RandomState(3)
     params = init_aki(jax.random.PRNGKey(1), CFG)
