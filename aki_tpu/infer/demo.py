@@ -43,29 +43,51 @@ PAGE = """<!doctype html><title>aki_tpu demo</title>
 
 class DemoModel:
     def __init__(self, checkpoint, tokenizer_path, tiny=False,
-                 max_new_tokens=256):
+                 max_new_tokens=256, num_beams=1, length_penalty=1.0,
+                 no_repeat_ngram_size=0):
         self.tokenizer = load_tokenizer(tokenizer_path)
         base = aki_tiny(self.tokenizer.info.vocab_size) if tiny else aki_4b()
         self.cfg = config_for_tokenizer(base, self.tokenizer.info)
         self.params = load_params(checkpoint, self.cfg)
         self.policy = Policy(param_dtype=jnp.bfloat16)
         self.max_new_tokens = max_new_tokens
+        self.num_beams = num_beams
+        self.length_penalty = length_penalty
+        self.no_repeat_ngram_size = no_repeat_ngram_size
 
     def answer(self, image_bytes: bytes, question: str,
                temperature: float = 0.0) -> str:
         img = preprocess(decode_image(image_bytes), self.cfg.siglip.image_size)
         prompt = PROMPT.format(system=SYSTEM_MESSAGE, question=question)
         ids = self.tokenizer.encode(prompt)  # reference eval/demo: add_special_tokens=False (eval.py:81)
-        tokens, num = generate(
-            self.params, self.cfg,
-            jnp.array([ids], jnp.int32), jnp.array(img[None]),
-            jnp.ones((1, len(ids)), jnp.int32),
-            max_new_tokens=self.max_new_tokens, max_len=1024,
-            eos_id=self.tokenizer.info.end_id,
-            sampling=SamplingConfig(temperature=temperature),
-            rng=jax.random.PRNGKey(np.random.randint(2 ** 31)),
-            policy=self.policy,
-        )
+        if self.num_beams > 1:
+            # HF-generate parity surface (flamingo.py:156-162): beam search
+            # with length penalty / ngram banning, greedy within beams
+            from .beam import generate_beam
+
+            tokens, num, _ = generate_beam(
+                self.params, self.cfg,
+                jnp.array([ids], jnp.int32), jnp.array(img[None]),
+                jnp.ones((1, len(ids)), jnp.int32),
+                max_new_tokens=self.max_new_tokens, max_len=1024,
+                num_beams=self.num_beams,
+                eos_id=self.tokenizer.info.end_id,
+                length_penalty=self.length_penalty,
+                no_repeat_ngram_size=self.no_repeat_ngram_size,
+                policy=self.policy,
+            )
+            tokens, num = tokens[:, 0], num[:, 0]
+        else:
+            tokens, num = generate(
+                self.params, self.cfg,
+                jnp.array([ids], jnp.int32), jnp.array(img[None]),
+                jnp.ones((1, len(ids)), jnp.int32),
+                max_new_tokens=self.max_new_tokens, max_len=1024,
+                eos_id=self.tokenizer.info.end_id,
+                sampling=SamplingConfig(temperature=temperature),
+                rng=jax.random.PRNGKey(np.random.randint(2 ** 31)),
+                policy=self.policy,
+            )
         return self.tokenizer.decode(np.asarray(tokens)[0][: int(num[0])])
 
 
@@ -116,10 +138,17 @@ def main(argv=None):
     ap.add_argument("--question", default="What is in this image?")
     ap.add_argument("--temperature", type=float, default=0.0)
     ap.add_argument("--max-new-tokens", type=int, default=256)
+    # HF-generate parity knobs (reference generate(), flamingo.py:156-162)
+    ap.add_argument("--num-beams", type=int, default=1)
+    ap.add_argument("--length-penalty", type=float, default=1.0)
+    ap.add_argument("--no-repeat-ngram-size", type=int, default=0)
     args = ap.parse_args(argv)
 
     model = DemoModel(args.checkpoint, args.tokenizer, tiny=args.tiny,
-                      max_new_tokens=args.max_new_tokens)
+                      max_new_tokens=args.max_new_tokens,
+                      num_beams=args.num_beams,
+                      length_penalty=args.length_penalty,
+                      no_repeat_ngram_size=args.no_repeat_ngram_size)
     if args.serve:
         serve(model, args.serve)
         return
