@@ -124,8 +124,16 @@ def decode_step(
     state: GenState,
     token_ids: jax.Array,
     policy: Policy = Policy(),
+    live_width: int | None = None,
 ) -> GenState:
-    """Advance one token. ``token_ids``: (B,) ids chosen from last_logits."""
+    """Advance one token. ``token_ids``: (B,) ids chosen from last_logits.
+
+    ``live_width``: static hint that only the first ``live_width`` batch
+    rows are live (serving tail compaction) — the int8-KV XLA decode then
+    reads only that batch prefix of the cache (the dominant decode cost);
+    dead rows' attention comes back zero and their bookkeeping is frozen
+    by the caller. Other attention paths ignore the hint (full-width
+    correct, just not faster)."""
     b = token_ids.shape[0]
     embeds = embed_text(params, cfg, token_ids[:, None], policy)
     positions = state.lengths[:, None]
@@ -139,7 +147,7 @@ def decode_step(
         params["phi3"], cfg.phi3, embeds, positions,
         spec=None, kv_valid=kv_valid, q_offset=state.lengths,
         cache=state.cache, cache_index=state.lengths,
-        policy=policy,
+        policy=policy, live_width=live_width,
     )
     logits = lm_logits(params, cfg, hidden, policy)[:, 0]
     return GenState(

@@ -71,7 +71,8 @@ class ServingEngine:
                  sampling: SamplingConfig = SamplingConfig(),
                  kv_int8: bool = False, admit_policy: str = "greedy",
                  prompt_buckets: tuple[int, ...] | None = None,
-                 image_uint8: bool = False, tp_mesh=None):
+                 image_uint8: bool = False, tp_mesh=None,
+                 compact_tail: bool = False):
         if admit_policy not in ("greedy", "batched"):
             raise ValueError(f"admit_policy {admit_policy!r}")
         # Tensor-parallel serving over a device mesh: params shard per the
@@ -137,45 +138,26 @@ class ServingEngine:
         self.image_uint8 = image_uint8
         self._host_dtype = np.uint8 if image_uint8 else np.float32
 
-        if kv_int8:
-            from ..models.phi3 import KVCacheQ
-
-            cache = KVCacheQ.create(cfg.phi3, num_slots, max_len)
-        else:
-            cache = KVCache.create(cfg.phi3, num_slots, max_len,
-                                   dtype=policy.compute_dtype)
-        if tp_mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from ..models.phi3 import KVCacheQ
-
-            # slot cache shards over heads on the tensor axis (the flat
-            # int8 layout's last dim is Hkv*D — head-major, so a last-dim
-            # shard IS a head shard); scales follow their rows
-            if isinstance(cache, KVCacheQ):
-                row = NamedSharding(tp_mesh, P(None, None, None, "tensor"))
-                cache = KVCacheQ(
-                    k=jax.device_put(cache.k, row),
-                    ks=jax.device_put(cache.ks, row),
-                    v=jax.device_put(cache.v, row),
-                    vs=jax.device_put(cache.vs, row),
-                )
-            else:
-                hsh = NamedSharding(
-                    tp_mesh, P(None, None, None, "tensor", None)
-                )
-                cache = KVCache(
-                    k=jax.device_put(cache.k, hsh),
-                    v=jax.device_put(cache.v, hsh),
-                )
-        self.state = GenState(
-            cache=cache,
-            kv_valid=self._put(jnp.zeros((num_slots, max_len), jnp.int32)),
-            lengths=self._put(jnp.zeros((num_slots,), jnp.int32)),
-            last_logits=self._put(jnp.zeros(
-                (num_slots, cfg.output_vocab), jnp.float32
-            )),
-        )
+        self.state = self._make_empty_state(num_slots)
+        # Tail compaction: once the queue/uploader are empty (pure drain
+        # tail), decode cost is dominated by the DENSE slot-cache read —
+        # every step streams all ``num_slots`` rows regardless of how many
+        # are live (a 48-slot int8 read is ~20 ms/step of the 27 ms total).
+        # When occupancy falls to <= num_slots/2 (then /4), the engine
+        # moves the live rows to the FRONT of the (always full-width)
+        # buffers with small in-place chunked row moves and decodes with a
+        # static ``live_width`` — the int8-KV decode then reads only that
+        # batch prefix of the cache (the slice fuses into the dots; no
+        # narrow cache copy is ever materialized, so there is no HBM
+        # transient — a gather into narrower buffers OOMs at 48-slot 4B
+        # geometry). Expansion back to full width is FREE: rows past the
+        # live prefix are stale garbage that admission fully overwrites.
+        self._live = num_slots
+        self._compact_widths = []
+        if compact_tail:
+            self._compact_widths = sorted(
+                {num_slots // 2, num_slots // 4} - {0}
+            )
         s = cfg.siglip.image_size
         self._zero_img = self._put(np.zeros((s, s, 3), self._host_dtype))
         # host bookkeeping
@@ -206,6 +188,10 @@ class ServingEngine:
 
         self._prefill_batch = jax.jit(self._prefill_batch_impl)
         self._insert = jax.jit(self._insert_impl, donate_argnums=(0,))
+        # tail-compaction row moves: same-shape donation aliases the full
+        # buffers, and the <=8-row chunk bounds the gather temp to ~1 GB
+        self._move = jax.jit(self._move_impl, donate_argnums=(0,))
+        self._move_chunk = min(8, num_slots)
         # one jitted decode per chunk length (budget-aware chunking sizes
         # each chunk to the next completion boundary)
         self._decode_fns: dict[int, object] = {}
@@ -218,15 +204,110 @@ class ServingEngine:
             return jax.device_put(x, self._rep)
         return jax.device_put(x)
 
-    def _get_decode(self, n: int):
-        if n not in self._decode_fns:
+    def _make_empty_state(self, width: int) -> GenState:
+        """Fresh zeroed GenState with ``width`` slot rows (TP shardings
+        applied). Used at init and when expanding back from a compacted
+        tail width."""
+        if self.kv_int8:
+            from ..models.phi3 import KVCacheQ
+
+            cache = KVCacheQ.create(self.cfg.phi3, width, self.max_len)
+        else:
+            cache = KVCache.create(self.cfg.phi3, width, self.max_len,
+                                   dtype=self.policy.compute_dtype)
+        if self.tp_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..models.phi3 import KVCacheQ
+
+            # slot cache shards over heads on the tensor axis (the flat
+            # int8 layout's last dim is Hkv*D — head-major, so a last-dim
+            # shard IS a head shard); scales follow their rows
+            if isinstance(cache, KVCacheQ):
+                row = NamedSharding(
+                    self.tp_mesh, P(None, None, None, "tensor")
+                )
+                cache = KVCacheQ(
+                    k=jax.device_put(cache.k, row),
+                    ks=jax.device_put(cache.ks, row),
+                    v=jax.device_put(cache.v, row),
+                    vs=jax.device_put(cache.vs, row),
+                )
+            else:
+                hsh = NamedSharding(
+                    self.tp_mesh, P(None, None, None, "tensor", None)
+                )
+                cache = KVCache(
+                    k=jax.device_put(cache.k, hsh),
+                    v=jax.device_put(cache.v, hsh),
+                )
+        return GenState(
+            cache=cache,
+            kv_valid=self._put(jnp.zeros((width, self.max_len), jnp.int32)),
+            lengths=self._put(jnp.zeros((width,), jnp.int32)),
+            last_logits=self._put(jnp.zeros(
+                (width, self.cfg.output_vocab), jnp.float32
+            )),
+        )
+
+    def _move_impl(self, state: GenState, src, dst):
+        """In-place slot-row moves rows[dst] = rows[src] (same-shape
+        donated update — XLA aliases the full buffers; the only transient
+        is the <=move_chunk gathered rows)."""
+        from ..models.phi3 import KVCacheQ
+
+        mv = lambda x: x.at[:, dst].set(x[:, src])
+        if isinstance(state.cache, KVCacheQ):
+            cache = KVCacheQ(k=mv(state.cache.k), ks=mv(state.cache.ks),
+                             v=mv(state.cache.v), vs=mv(state.cache.vs))
+        else:
+            cache = KVCache(k=mv(state.cache.k), v=mv(state.cache.v))
+        return GenState(
+            cache=cache,
+            kv_valid=state.kv_valid.at[dst].set(state.kv_valid[src]),
+            lengths=state.lengths.at[dst].set(state.lengths[src]),
+            last_logits=state.last_logits.at[dst].set(
+                state.last_logits[src]
+            ),
+        )
+
+    def _compact_to(self, width: int, occupied: list[int]):
+        """Move the occupied slot rows to the front (ascending src ->
+        ascending dst with src[i] >= dst[i], so chunked in-order moves
+        never clobber a not-yet-moved source row) and shrink the decode's
+        live prefix to ``width``. Buffers stay full-size."""
+        moves = [(s, d) for d, s in enumerate(occupied) if s != d]
+        c = self._move_chunk
+        for i in range(0, len(moves), c):
+            chunk = moves[i:i + c]
+            # pad to the fixed chunk shape with identity moves on the LAST
+            # row: real dsts are < num_slots/2, so the pad never duplicates
+            # a destination index (a duplicate dst in one scatter makes the
+            # winning write unspecified — padding with (0,0) while a real
+            # move targets row 0 reverted that row, caught by
+            # test_server_compact_tail_matches_one_shot)
+            pad = self.num_slots - 1
+            while len(chunk) < c:
+                chunk.append((pad, pad))
+            src = jnp.asarray([m[0] for m in chunk], jnp.int32)
+            dst = jnp.asarray([m[1] for m in chunk], jnp.int32)
+            self.state = self._move(self.state, src, dst)
+        reqs = [self.slot_req[i] for i in occupied]
+        self.slot_req = reqs + [None] * (self.num_slots - len(reqs))
+        self._live = width
+
+    def _get_decode(self, n: int, live: int | None = None):
+        if live is not None and live >= self.num_slots:
+            live = None
+        if (n, live) not in self._decode_fns:
             import functools
 
-            self._decode_fns[n] = jax.jit(
-                functools.partial(self._decode_impl, length=n),
+            self._decode_fns[(n, live)] = jax.jit(
+                functools.partial(self._decode_impl, length=n,
+                                  live_width=live),
                 donate_argnums=(1,),
             )
-        return self._decode_fns[n]
+        return self._decode_fns[(n, live)]
 
     # -- jitted device functions ---------------------------------------------
     def _prefill_batch_impl(self, params, ids, img, valid):
@@ -264,7 +345,8 @@ class ServingEngine:
                         lengths=lengths, last_logits=last_logits)
 
     def _decode_impl(self, params, state: GenState, active, key,
-                     length: int | None = None):
+                     length: int | None = None,
+                     live_width: int | None = None):
         def one(carry, _):
             st, k = carry
             k, sub = jax.random.split(k)
@@ -273,7 +355,8 @@ class ServingEngine:
                 active, tok, self.cfg.pad_token_id
             ).astype(jnp.int32)
             new_state = decode_step(params, self.cfg, st, tok,
-                                    policy=self.policy)
+                                    policy=self.policy,
+                                    live_width=live_width)
             # Only the BOOKKEEPING freezes for inactive slots (kv_valid /
             # lengths / last_logits). The cache itself may advance freely:
             # a garbage token lands at the frozen lengths[i] position,
@@ -324,18 +407,32 @@ class ServingEngine:
                 if b >= self.admit_batch:
                     break
                 b = min(b * 2, self.admit_batch)
-        # all power-of-two chunk lengths up to decode_chunk
-        n = 1
-        while True:
-            self._rng, sub = jax.random.split(self._rng)
-            self.state, toks = self._get_decode(n)(
-                self.params, self.state,
-                jnp.zeros((self.num_slots,), bool), sub,
-            )
-            np.asarray(toks)
-            if n >= self.decode_chunk:
-                break
-            n = min(n * 2, self.decode_chunk)
+        # the decode chunk (fixed-size: step() never dispatches other
+        # lengths since budget-aware chunking was removed)
+        self._rng, sub = jax.random.split(self._rng)
+        self.state, toks = self._get_decode(self.decode_chunk)(
+            self.params, self.state,
+            jnp.zeros((self.num_slots,), bool), sub,
+        )
+        np.asarray(toks)
+        # tail-compaction paths: every gather pair, the decode chunk at
+        # each narrow width, and the expand scatter — a mid-drain compile
+        # through a tunneled runtime costs tens of seconds
+        if self._compact_widths:
+            # trace the row-move program once (identity moves on row 0)
+            # and the decode chunk at each compaction live-width
+            zero = jnp.zeros((self._move_chunk,), jnp.int32)
+            self.state = self._move(self.state, zero, zero)
+            np.asarray(self.state.lengths)
+            for w in sorted(self._compact_widths, reverse=True):
+                self._live = w
+                self._rng, sub = jax.random.split(self._rng)
+                self.state, toks = self._get_decode(self.decode_chunk, w)(
+                    self.params, self.state,
+                    jnp.zeros((self.num_slots,), bool), sub,
+                )
+                np.asarray(toks)
+            self._live = self.num_slots
 
     def _uploader_loop(self):
         while True:
@@ -481,6 +578,11 @@ class ServingEngine:
                     self._ready.append(self.queue.get_nowait())
                 except queue.Empty:
                     break
+            if self._ready and self._live < self.num_slots:
+                # restore the full slot pool — free: buffers never shrank,
+                # rows past the live prefix are stale garbage admission
+                # overwrites
+                self._live = self.num_slots
             free = [i for i, r in enumerate(self.slot_req) if r is None]
             ready = len(self._ready)
             if not free or ready == 0:
@@ -516,7 +618,7 @@ class ServingEngine:
         """Account one fetched chunk against the slot->request bindings
         that were live when it was dispatched (the live slot may already
         hold a NEWER request — early slot release)."""
-        for slot in range(self.num_slots):
+        for slot in range(len(snapshot)):
             req = snapshot[slot]
             if req is None or req._result.qsize():
                 continue   # empty slot, or request already completed
@@ -529,8 +631,13 @@ class ServingEngine:
                     req._tokens.append(t)
                 if done or len(req._tokens) >= req.max_new_tokens:
                     req._result.put(req._tokens)
-                    if self.slot_req[slot] is req:
-                        self.slot_req[slot] = None
+                    # free by IDENTITY, not snapshot index: tail
+                    # compaction may have moved the request to a
+                    # different slot since this chunk was dispatched
+                    for i, live in enumerate(self.slot_req):
+                        if live is req:
+                            self.slot_req[i] = None
+                            break
                     break
 
     def _flush_pending(self):
@@ -563,6 +670,21 @@ class ServingEngine:
             self._flush_pending()
         self._admit_free()
 
+        if (self._compact_widths and self.queue.empty()
+                and not self._ready and self._pending_uploads() == 0):
+            # pure drain tail: nothing left to admit — shrink the decode's
+            # live prefix to the smallest compaction level covering the
+            # occupied slots (the dense cache read scales with the prefix)
+            occupied = [i for i, r in enumerate(self.slot_req)
+                        if r is not None]
+            if occupied:
+                target = next(
+                    (w for w in self._compact_widths
+                     if len(occupied) <= w and w < self._live), None
+                )
+                if target is not None:
+                    self._compact_to(target, occupied)
+
         remaining = [
             (req.max_new_tokens - req._dispatched) if req is not None else 0
             for req in self.slot_req
@@ -578,7 +700,7 @@ class ServingEngine:
             # drops the garbage tokens.
             n = self.decode_chunk
             self._rng, sub = jax.random.split(self._rng)
-            self.state, toks = self._get_decode(n)(
+            self.state, toks = self._get_decode(n, self._live)(
                 self.params, self.state, jnp.array(active), sub
             )
             snapshot = list(self.slot_req)

@@ -200,6 +200,7 @@ def _attention_layer(
     tp_mesh=None,
     sp_mesh=None,
     ep_mesh=None,
+    live_width: int | None = None,
 ):
     b, t, d = x.shape
     nh, nkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -247,6 +248,7 @@ def _attention_layer(
             ) + 1
             attn4 = da.decode_attention_flat_xla(
                 q4, ck8, cks, cv8, cvs, lengths, li, scale=dh ** -0.5,
+                live_width=live_width,
             )
             attn_flat = attn4.reshape(b, 1, nh * dp)
         else:
@@ -306,8 +308,13 @@ def _attention_layer(
                 jnp.asarray(q_offset, jnp.int32), (b,)
             ) + 1
             if da.DECODE_IMPL == "xla":
+                # live_width: tail-compaction hint — only the first
+                # live_width batch rows are read from the cache (dead
+                # rows return zeros; the Pallas path ignores the hint and
+                # stays full-width correct)
                 attn = da.decode_attention_flat_xla(
                     q, ck8, cks, cv8, cvs, lengths, li,
+                    live_width=live_width,
                 )
             else:
                 attn = da.decode_attention_flat(
@@ -427,6 +434,7 @@ def phi3_forward(
     sp_mesh=None,
     ep_mesh=None,
     with_aux: bool = False,
+    live_width: int | None = None,
 ) -> tuple[jax.Array, KVCache | None]:
     """Run the decoder stack over ``inputs_embeds``.
 
@@ -486,7 +494,7 @@ def phi3_forward(
                 y, new_kv, _ = _attention_layer(
                     x, lp, cos, sin, cfg, spec, kv_valid, q_offset,
                     ("q8", k8, ks, v8, vs, li, wpos), use_flash, eps,
-                    tp_mesh,
+                    tp_mesh, live_width=live_width,
                 )
                 return (y, *new_kv), None
 

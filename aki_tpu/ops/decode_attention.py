@@ -365,6 +365,7 @@ def decode_attention_flat_xla(
     lengths: jax.Array,     # (B,) live tokens incl. the just-written one
     layer: jax.Array,       # scalar layer index
     scale: float | None = None,
+    live_width: int | None = None,
 ) -> jax.Array:
     """XLA-native single-token attention over one layer of the int8 cache.
 
@@ -388,13 +389,23 @@ def decode_attention_flat_xla(
     Scales fold outside the contractions: K scales multiply the score
     matrix elementwise; V scales fold into the probability rows.
     """
-    b, _, h, d = q.shape
+    b_full, _, h, d = q.shape
     s_len, hkv = ks.shape[2], ks.shape[3]
     assert h % hkv == 0 and k.shape[-1] == hkv * d
     group = h // hkv
     f = hkv * d
     if scale is None:
         scale = d ** -0.5
+    # live_width: only the first ``live_width`` batch rows are live (the
+    # serving engine's tail compaction moves active slots to the front).
+    # A static batch-PREFIX slice of the (B, S, F) layer read fuses into
+    # the contraction — decode streams live_width/B of the cache bytes —
+    # with no narrow cache copy ever materialized. Dead rows come back
+    # zero-padded so the caller's shapes are unchanged.
+    b = b_full if live_width is None else min(live_width, b_full)
+    if b != b_full:
+        q = q[:b]
+        lengths = lengths[:b]
 
     # block-diagonal bf16 Q: row h carries q[h] in column block h // group
     sel_h = np.zeros((h, hkv), np.float32)
@@ -404,15 +415,15 @@ def decode_attention_flat_xla(
         * jnp.asarray(sel_h)[None, :, :, None]
     ).reshape(b, h, f).astype(jnp.bfloat16)
 
-    k_li = jax.lax.dynamic_index_in_dim(k, layer, 0, keepdims=False)
-    v_li = jax.lax.dynamic_index_in_dim(v, layer, 0, keepdims=False)
+    k_li = jax.lax.dynamic_index_in_dim(k, layer, 0, keepdims=False)[:b]
+    v_li = jax.lax.dynamic_index_in_dim(v, layer, 0, keepdims=False)[:b]
     # token-major (B, S, Hkv) scale slices -> (B, Hkv, S) for the
     # elementwise folds (a ~1.5 MB transpose per layer; the token-major
     # storage keeps the per-step scale WRITE a contiguous row scatter)
     ks_li = jax.lax.dynamic_index_in_dim(
-        ks, layer, 0, keepdims=False).transpose(0, 2, 1)
+        ks, layer, 0, keepdims=False)[:b].transpose(0, 2, 1)
     vs_li = jax.lax.dynamic_index_in_dim(
-        vs, layer, 0, keepdims=False).transpose(0, 2, 1)
+        vs, layer, 0, keepdims=False)[:b].transpose(0, 2, 1)
     if group > 1:
         ks_li = jnp.repeat(ks_li, group, axis=1)
         vs_li = jnp.repeat(vs_li, group, axis=1)
@@ -443,7 +454,10 @@ def decode_attention_flat_xla(
     )
     sel = jnp.asarray(_selector(hkv, d))    # (F, D)
     o = jnp.einsum("bhf,fd->bhd", o_masked, sel)
-    return o.reshape(b, 1, h, d).astype(q.dtype)
+    o = o.reshape(b, 1, h, d).astype(q.dtype)
+    if b != b_full:
+        o = jnp.pad(o, ((0, b_full - b), (0, 0), (0, 0), (0, 0)))
+    return o
 
 
 def quantize_kv_flat(x: jax.Array) -> tuple[jax.Array, jax.Array]:

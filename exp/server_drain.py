@@ -43,10 +43,12 @@ def main():
     ))(jax.random.PRNGKey(0))
 
     imgu8 = os.environ.get("IMGU8", "1") == "1"
+    compact = os.environ.get("COMPACT", "0") == "1"
     eng = ServingEngine(
         params, cfg, num_slots=SLOTS, max_len=MAX_LEN,
         prompt_bucket=TEXT_LEN, admit_batch=ADMIT, admit_policy=POLICY,
         decode_chunk=CHUNK, kv_int8=True, image_uint8=imgu8, policy=policy,
+        compact_tail=compact,
     )
 
     s = cfg.siglip.image_size
@@ -76,6 +78,16 @@ def main():
         orig_admit(slots, rs)
         admits.append((len(rs), (time.perf_counter() - t) * 1e3))
     eng._admit_many = admit_many
+    # record the decode live-width per tick (compaction diagnostics)
+    eng._live_trace = []
+    orig_step = eng.step
+
+    def step():
+        n = orig_step()
+        if n:
+            eng._live_trace.append(eng._live)
+        return n
+    eng.step = step
 
     for drain in range(3):
         admits.clear()
@@ -104,15 +116,19 @@ def main():
         q = SLOTS // 4
         hist = [sum(1 for t in occ if (i * q) < t <= (i + 1) * q)
                 for i in range(4)]
+        lives = getattr(eng, "_live_trace", None)
         print(
             f"drain{drain}: {NREQ / wall:5.2f} img/s | wall {wall:6.2f}s | "
             f"host-loop {t_dispatch:5.2f}s (admit-dispatch {adm_ms / 1e3:5.2f}s) | "
             f"decode ticks {n_dec} (= {n_dec * CHUNK} steps) "
             f"occ mean {np.mean(occ):4.1f}/{SLOTS} min {min(occ)} "
             f"hist(quartiles) {hist} | "
-            f"admissions {sorted(sizes.items())}",
+            f"admissions {sorted(sizes.items())}"
+            + (f" | live-widths {lives}" if lives else ""),
             flush=True,
         )
+        if lives is not None:
+            lives.clear()
 
 
 if __name__ == "__main__":

@@ -197,6 +197,42 @@ def test_engine_kv_int8_close_to_bf16_path():
         assert rel < 0.05, (step, rel)
 
 
+def test_decode_live_width_matches_full_on_prefix():
+    """Tail-compaction contract: decode_step(live_width=w) on the q8 XLA
+    path must produce bit-identical logits for the first w rows (the cache
+    read is a fused batch-prefix slice — same math, fewer bytes); rows
+    past the prefix are dead (engine freezes their bookkeeping)."""
+    import functools
+
+    rng = np.random.RandomState(11)
+    params = init_aki(jax.random.PRNGKey(2), CFG)
+    ids, imgs, valid = _batch(rng)          # batch 2
+    # stack to batch 4 so live_width=2 is a real prefix
+    ids = jnp.concatenate([ids, ids[::-1]], axis=0)
+    imgs = jnp.concatenate([imgs, imgs[::-1]], axis=0)
+    valid = jnp.concatenate([valid, valid[::-1]], axis=0)
+
+    state = prefill(params, CFG, ids, imgs, valid, max_len=64, policy=F32,
+                    use_flash=False, kv_int8=True)
+    step_full = jax.jit(functools.partial(decode_step, policy=F32),
+                        static_argnums=(1,))
+    step_live = jax.jit(
+        functools.partial(decode_step, policy=F32, live_width=2),
+        static_argnums=(1,),
+    )
+    tok = jnp.asarray(rng.randint(5, CFG.initial_tokenizer_len - 1,
+                                  size=(4,)), jnp.int32)
+    s_full = state
+    s_live = state
+    for _ in range(3):
+        s_full = step_full(params, CFG, s_full, tok)
+        s_live = step_live(params, CFG, s_live, tok)
+        np.testing.assert_array_equal(
+            np.asarray(s_live.last_logits)[:2],
+            np.asarray(s_full.last_logits)[:2],
+        )
+
+
 def test_kv_int8_no_drift_over_long_decode():
     """Accumulated-error check (ADVICE r2): 32 teacher-forced steps through
     the int8 cache must not drift — every step's logits stay within the

@@ -101,6 +101,51 @@ def test_server_uint8_ingress_matches_float():
         assert ru.result(timeout=1) == rf.result(timeout=1)
 
 
+import pytest
+
+
+@pytest.mark.parametrize("kv_int8", [False, True])
+def test_server_compact_tail_matches_one_shot(kv_int8):
+    """Tail compaction: staggered budgets force the drain tail through the
+    move-to-front + live-width path (4 slots -> live 2 -> live 1), a
+    second wave forces re-expansion to the full slot pool, and every token
+    must still match the one-shot engine. kv_int8=True exercises the q8
+    XLA decode's fused batch-prefix cache read (the production config);
+    kv_int8=False covers the ignore-the-hint bf16 path."""
+    params = init_aki(jax.random.PRNGKey(0), CFG)
+    engine = ServingEngine(params, CFG, num_slots=4, max_len=48,
+                           prompt_bucket=12, policy=F32, decode_chunk=2,
+                           compact_tail=True, kv_int8=kv_int8)
+    assert engine._compact_widths == [1, 2]
+
+    def wave(seed0, budgets):
+        reqs, prompts = [], []
+        for i, m in enumerate(budgets):
+            ids, img = make_prompt(np.random.RandomState(seed0 + i))
+            prompts.append((ids, img, m))
+            reqs.append(engine.submit(ids, img, max_new_tokens=m))
+        engine.run_until_drained()
+        return reqs, prompts
+
+    # staggered budgets: after the chunk-2 ticks complete the short ones,
+    # occupancy falls 4 -> 2 -> 1 and the trigger compacts
+    reqs, prompts = wave(300, [2, 2, 6, 10])
+    assert engine._live == 1       # tail ended fully compacted
+    # second wave while compacted: admission must expand back to 4 slots
+    # (free — buffers never shrink) and then compact its own tail
+    reqs2, prompts2 = wave(310, [3, 3, 3, 3])
+    assert engine._live in (4, *engine._compact_widths)
+
+    for (ids, img, m), req in zip(prompts + prompts2, reqs + reqs2):
+        got = req.result(timeout=1)
+        want, _ = generate(
+            params, CFG, jnp.array([ids], jnp.int32), jnp.array(img[None]),
+            jnp.ones((1, len(ids)), jnp.int32), max_new_tokens=m,
+            max_len=48, policy=F32, use_flash=False, kv_int8=kv_int8,
+        )
+        assert got == list(np.asarray(want)[0]), (got, np.asarray(want)[0])
+
+
 def test_server_eos_frees_slot_early():
     rng = np.random.RandomState(1)
     params = init_aki(jax.random.PRNGKey(1), CFG)
