@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from ..ops.attention import dense_attention
 from ..ops.masks import MMASpec
 from ..ops.rope import apply_rope, rope_cos_sin
-from .quant import mm, norm_quant_acts, silu_mul_quant_acts
+from .quant import is_quantized, mm, norm_quant_acts, silu_mul_quant_acts
 from .common import Params, Policy, rmsnorm
 from .configs import Phi3Config
 
@@ -227,7 +227,6 @@ def _attention_layer(
                 "path (kv_int8=True / KVCacheQ cache) and MHA (nkv == nh)"
             )
         from ..ops import decode_attention as da
-        from ..ops.flash_mma import flash_mma_attention_flat
 
         _, ck8, cks, cv8, cvs, li, wpos = cache_kv
         q4 = mm(h, lp["wq"]).reshape(b, t, nh, dp)
@@ -258,13 +257,17 @@ def _attention_layer(
             cv8 = jax.lax.dynamic_update_slice(cv8, v8[None], (li, 0, 0, 0))
             cvs = jax.lax.dynamic_update_slice(
                 cvs, vsc[None], (li, 0, 0, 0))
-            attn_flat = flash_mma_attention_flat(
-                q4.reshape(b, t, nh * dp), k4.reshape(b, t, nkv * dp),
-                v4.reshape(b, t, nkv * dp), num_heads=nh, head_dim=dh,
-                spec=spec,
+            # prefill: the flat path is always quantized serving — use
+            # the XLA bf16-prob MMA path (pad lanes are zeros, so dots
+            # over dp lanes equal dots over dh; pass the real-dh scale)
+            from ..ops.attention import decoder_attention_xla
+
+            attn4 = decoder_attention_xla(
+                q4, k4, v4, spec=spec,
                 kv_valid=kv_valid[:, :t] if kv_valid is not None else None,
-                q_offset=q_offset,
+                q_offset=q_offset, scale=dh ** -0.5,
             )
+            attn_flat = attn4.reshape(b, t, nh * dp)
         x = x + mm(attn_flat, lp["wo"])
         h2 = norm_quant_acts("rms", lp["ln2"], x, eps, probe=lp["w_gate"])
         gate = mm(h2, lp["w_gate"])
@@ -379,6 +382,20 @@ def _attention_layer(
             attn = flash_mma_attention_tp(
                 q, k_att, v_att, mesh=tp_mesh, spec=spec,
                 kv_valid=kv_valid_att, q_offset=q_offset,
+            )
+        elif use_flash and t > 1 and is_quantized(
+                lp.get("wqkv", lp.get("wq"))):
+            # SERVING prefill fast path (detected via the quantized
+            # weights, like the vision tower): plain-XLA bf16-prob MMA
+            # attention beats the DMA-ceiling-bound flash kernel at
+            # decoder prefill shapes — bs48 7.35 vs 12.52 ms/layer
+            # (exp/prefill_attn_ab.py). Training keeps flash's
+            # O(1)-residual vjp; decode (t == 1) rides the int8-KV path.
+            from ..ops.attention import decoder_attention_xla
+
+            attn = decoder_attention_xla(
+                q, k_att, v_att, spec=spec, kv_valid=kv_valid_att,
+                q_offset=q_offset,
             )
         elif use_flash:
             from ..ops.flash_mma import flash_mma_attention

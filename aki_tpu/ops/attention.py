@@ -128,6 +128,73 @@ def mma_attention(
     )
 
 
+def decoder_attention_xla(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    spec: MMASpec | None = None,
+    kv_valid: jax.Array | None = None,
+    q_offset: jax.Array | int = 0,
+    causal: bool = True,
+    scale: float | None = None,
+) -> jax.Array:
+    """Causal|MMA prefill attention as plain XLA einsums with bf16
+    probabilities — the decoder serving fast path on v5e.
+
+    Replays the vision-tower result (``encoder_attention_xla``) at decoder
+    prefill shapes: the Pallas flash kernel is capped by the ~175-245 GB/s
+    Pallas DMA ceiling while XLA streams the materialized bf16 probability
+    tensor at ~450 GB/s.  Measured in-jit at T=656, H=32, D=96
+    (exp/prefill_attn_ab.py): bs48 7.35 vs flash 12.52 ms/layer, bs16
+    2.55 vs 4.47, bs1 0.79 vs 0.91; maxerr 7.8e-3 (bf16 probability
+    rounding — inside the W8A8 path's quantization noise, which is why
+    this is gated to quantized serving; training keeps the flash kernel's
+    O(1)-residual vjp).
+
+    The mask is the same 3-scalar MMA contract as the kernel
+    (``allowed_mask``) — iota compares that fuse into the score fusion,
+    never a host-built dense mask.  Fully-masked query rows (left-padding)
+    return zeros like ``dense_attention``.
+
+    q: (B, T, H, D); k/v: (B, S, Hkv, D) with Hkv | H.  Extra zero lanes
+    from the padded-head layout are harmless (zeros contribute nothing to
+    either dot) — pass the real head_dim's ``scale``.
+    """
+    b, t, h, d = q.shape
+    s_len, hkv = k.shape[1], k.shape[2]
+    if scale is None:
+        scale = d ** -0.5
+    if hkv != h:
+        assert h % hkv == 0
+        k = jnp.repeat(k, h // hkv, axis=2)
+        v = jnp.repeat(v, h // hkv, axis=2)
+
+    s = jnp.einsum("bthd,bshd->bhts", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if spec is not None:
+        ok = allowed_mask(spec, t, s_len, kv_valid, q_offset)[:, None]
+    else:
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (b, 1, t, s_len), 2)
+        q_pos = q_pos + jnp.broadcast_to(
+            jnp.asarray(q_offset, jnp.int32), (b,))[:, None, None, None]
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (b, 1, t, s_len), 3)
+        ok = (k_pos <= q_pos) if causal else jnp.ones_like(k_pos, bool)
+        if kv_valid is not None:
+            ok = ok & (kv_valid[:, None, None, :] != 0)
+
+    s = jnp.where(ok, s, -1e30)
+    m = jnp.max(s, -1, keepdims=True)
+    p = jnp.exp(s - m).astype(jnp.bfloat16)
+    l = jnp.sum(p.astype(jnp.float32), -1, keepdims=True)
+    o = jnp.einsum("bhts,bshd->bthd", p, v,
+                   preferred_element_type=jnp.float32)
+    o = o / l.transpose(0, 2, 1, 3)
+    # fully-masked rows (left padding): m == -1e30 makes every p == 1;
+    # zero them like dense_attention does
+    row_any = jnp.any(ok, axis=-1).transpose(0, 2, 1)[..., None]
+    return jnp.where(row_any, o, 0.0).astype(q.dtype)
+
+
 def encoder_attention_xla(q: jax.Array, k: jax.Array, v: jax.Array,
                           scale: float | None = None) -> jax.Array:
     """Full (non-causal, unmasked) attention as plain XLA einsums with
