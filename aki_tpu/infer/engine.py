@@ -66,13 +66,25 @@ def prefill(
     vision_tokens: jax.Array | None = None,
     kv_int8: bool = False,
     tp_mesh=None,
+    attn_mode: str | None = None,
 ) -> GenState:
     """Run the prompt through the model, filling the KV cache.
 
     ``kv_int8=True`` stores the cache as per-(token, head) int8 — halves
     the decode cache-read bytes; decode then runs the fused Pallas kernel
     (``ops/decode_attention.py``) that never dequantizes into HBM.
+
+    ``attn_mode`` selects the reference's three ablation modes
+    (README.md:81-87 table; one kernel for all three, ``ops/masks.py``):
+    ``"mma"`` (default, == ``order="image_first"`` with the MMA block),
+    ``"dot"`` (text-before-image ordering, plain causal — vlm.py:461
+    note), ``"causal"`` (image-first splice, MMA block zeroed). When
+    given, it overrides ``order``.
     """
+    if attn_mode is not None:
+        if attn_mode not in ("mma", "dot", "causal"):
+            raise ValueError(f"attn_mode {attn_mode!r}")
+        order = "text_first" if attn_mode == "dot" else "image_first"
     b, t_txt = input_ids.shape
     head_pad = padded_head_dim(params, cfg)
     if head_pad is not None and not kv_int8:
@@ -88,6 +100,11 @@ def prefill(
         text_embeds, vision_tokens, input_ids, attn_valid,
         cfg.media_token_id, cfg.assistant_token_id, order=order,
     )
+    if attn_mode == "causal":
+        # causal ablation: same image-first splice, MMA block zeroed
+        from ..ops.masks import causal_spec
+
+        sp = dataclasses.replace(sp, spec=causal_spec(b))
     t_full = sp.embeds.shape[1]
     assert max_len >= t_full, "cache shorter than prompt"
 
@@ -160,7 +177,7 @@ def decode_step(
     jax.jit,
     static_argnames=(
         "cfg", "max_new_tokens", "max_len", "sampling", "policy", "use_flash",
-        "order", "kv_int8", "tp_mesh",
+        "order", "kv_int8", "tp_mesh", "attn_mode",
     ),
 )
 def generate(
@@ -179,8 +196,13 @@ def generate(
     order: str = "image_first",
     kv_int8: bool = False,
     tp_mesh=None,
+    attn_mode: str | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Batched generation.
+
+    ``attn_mode`` ("mma" | "dot" | "causal") selects the reference's
+    ablation modes at prefill (see :func:`prefill`); decode is plain
+    causal over the cache in all three.
 
     Returns:
         (tokens (B, max_new_tokens) int32 — eos/pad-filled after stop,
@@ -193,7 +215,7 @@ def generate(
     state = prefill(
         params, cfg, input_ids, images, attn_valid, max_len,
         policy=policy, use_flash=use_flash, order=order, kv_int8=kv_int8,
-        tp_mesh=tp_mesh,
+        tp_mesh=tp_mesh, attn_mode=attn_mode,
     )
     b = input_ids.shape[0]
 

@@ -95,17 +95,42 @@ def load_params(checkpoint: str | None, cfg, seed=0):
 
 
 def run_eval(params, cfg, tokenizer, samples, *, batch_size=16,
-             max_new_tokens=256, policy=None, n_vis=None):
+             max_new_tokens=256, policy=None, n_vis=None,
+             attn_mode=None, warmup=True):
     """Bucketed batched greedy generation.
 
     samples: list of dicts {ids, image (H,W,C) float32, answer, source}.
     Returns per-sample dicts with predictions.
+
+    ``warmup=True`` compiles every length bucket the sample set needs
+    BEFORE the eval loop (one dummy batch per bucket, serialized) — the
+    same treatment ``ServingEngine.warmup()`` gives the server: through a
+    tunneled runtime a mid-eval 4B compile costs tens of seconds, and an
+    eval that stalls on its 5th bucket an hour in reads as a hang.
+    ``attn_mode`` ("mma" | "dot" | "causal") runs the reference's
+    ablation modes (README.md:81-87) through the same bucketed path.
     """
     policy = policy or Policy(param_dtype=jnp.bfloat16)
     n_vis = n_vis or cfg.perceiver.num_latents
     by_bucket: dict[int, list[int]] = {}
     for i, s in enumerate(samples):
         by_bucket.setdefault(pick_bucket(len(s["ids"])), []).append(i)
+
+    if warmup:
+        s_img = cfg.siglip.image_size
+        for bucket in sorted(by_bucket):
+            max_len = -(-(bucket + n_vis + max_new_tokens) // 128) * 128
+            ids = np.full((batch_size, bucket), cfg.pad_token_id, np.int32)
+            valid = np.zeros((batch_size, bucket), np.int32)
+            valid[:, 0] = 1
+            tokens, _ = generate(
+                params, cfg, jnp.asarray(ids),
+                jnp.zeros((batch_size, s_img, s_img, 3), np.float32),
+                jnp.asarray(valid), max_new_tokens=max_new_tokens,
+                max_len=max_len, eos_id=tokenizer.info.end_id,
+                policy=policy, attn_mode=attn_mode,
+            )
+            np.asarray(tokens)   # serialize: one live compile at a time
 
     results = [None] * len(samples)
     for bucket, idxs in sorted(by_bucket.items()):
@@ -137,6 +162,7 @@ def run_eval(params, cfg, tokenizer, samples, *, batch_size=16,
                 params, cfg, jnp.asarray(ids), jnp.asarray(imgs),
                 jnp.asarray(valid), max_new_tokens=max_new_tokens,
                 max_len=max_len, eos_id=tokenizer.info.end_id, policy=policy,
+                attn_mode=attn_mode,
             )
             tokens = np.asarray(tokens)
             num = np.asarray(num)
@@ -157,6 +183,12 @@ def main(argv=None):
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--max-new-tokens", type=int, default=256)
+    ap.add_argument("--attn-mode", default=None,
+                    choices=("mma", "dot", "causal"),
+                    help="attention ablation (README.md:81-87 table); "
+                         "default = mma, the released-model mode")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the per-bucket compile pass")
     args = ap.parse_args(argv)
 
     tokenizer = load_tokenizer(args.tokenizer)
@@ -188,7 +220,8 @@ def main(argv=None):
 
     preds = run_eval(params, cfg, tokenizer, samples,
                      batch_size=args.batch,
-                     max_new_tokens=args.max_new_tokens)
+                     max_new_tokens=args.max_new_tokens,
+                     attn_mode=args.attn_mode, warmup=not args.no_warmup)
 
     results = []
     correct_by_source: dict[str, list[int]] = {}

@@ -40,6 +40,9 @@ def main(argv=None):
     ap.add_argument("--max-new-tokens", type=int, default=128)
     ap.add_argument("--max-len", type=int, default=1024)
     ap.add_argument("--prompt-bucket", type=int, default=512)
+    ap.add_argument("--attn-mode", default=None,
+                    choices=("mma", "dot", "causal"),
+                    help="prefill attention ablation (README.md:81-87)")
     args = ap.parse_args(argv)
 
     model = AKIModel.from_pretrained(
@@ -48,6 +51,7 @@ def main(argv=None):
     engine = ServingEngine(
         model.params, model.cfg, num_slots=args.slots, max_len=args.max_len,
         prompt_bucket=args.prompt_bucket, policy=model.policy,
+        attn_mode=args.attn_mode,
     )
     tok = model.tokenizer
 

@@ -72,7 +72,7 @@ class ServingEngine:
                  kv_int8: bool = False, admit_policy: str = "greedy",
                  prompt_buckets: tuple[int, ...] | None = None,
                  image_uint8: bool = False, tp_mesh=None,
-                 compact_tail: bool = False):
+                 compact_tail: bool = False, attn_mode: str | None = None):
         if admit_policy not in ("greedy", "batched"):
             raise ValueError(f"admit_policy {admit_policy!r}")
         # Tensor-parallel serving over a device mesh: params shard per the
@@ -137,6 +137,9 @@ class ServingEngine:
         # work in production either way.
         self.image_uint8 = image_uint8
         self._host_dtype = np.uint8 if image_uint8 else np.float32
+        # prefill attention ablation mode (None == "mma"); decode is plain
+        # causal over the cache in all three modes (see engine.prefill)
+        self.attn_mode = attn_mode
 
         self.state = self._make_empty_state(num_slots)
         # Tail compaction: once the queue/uploader are empty (pure drain
@@ -317,7 +320,8 @@ class ServingEngine:
             img = img.astype(jnp.float32) / 127.5 - 1.0
         return prefill(params, self.cfg, ids, img, valid,
                        max_len=self.max_len, policy=self.policy,
-                       kv_int8=self.kv_int8, tp_mesh=self.tp_mesh)
+                       kv_int8=self.kv_int8, tp_mesh=self.tp_mesh,
+                       attn_mode=self.attn_mode)
 
     def _insert_impl(self, state: GenState, new: GenState, slots):
         """Scatter all admit_batch rows of ``new`` into their slots; padded
