@@ -366,11 +366,17 @@ def _attention_layer(
 
     if attn is None:
         if sp_mesh is not None:
-            # sequence-parallel training: q/k/v sharded along T, K/V
-            # all-gathered over the "seq" axis inside the shard_map
+            # sequence-parallel training: q/k/v sharded along T. Default
+            # is the ring (K/V stay sharded — per-device KV is O(T/seq),
+            # the long-context design); ops/ring_attention.py:SP_IMPL
+            # toggles back to the all-gather shard_map.
+            from ..ops import ring_attention
             from ..ops.flash_mma import flash_mma_attention_sp
 
-            attn = flash_mma_attention_sp(
+            sp_attn = (ring_attention.ring_mma_attention_sp
+                       if ring_attention.SP_IMPL == "ring"
+                       else flash_mma_attention_sp)
+            attn = sp_attn(
                 q, k_att, v_att, mesh=sp_mesh, spec=spec,
                 kv_valid=kv_valid_att, q_offset=q_offset,
             )

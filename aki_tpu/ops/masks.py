@@ -91,11 +91,15 @@ def allowed_mask(
     kv_len: int,
     kv_valid: jax.Array | None = None,
     q_offset: jax.Array | int = 0,
+    kv_offset: jax.Array | int = 0,
 ) -> jax.Array:
     """Dense boolean mask ``(B, q_len, kv_len)``; True = may attend.
 
     ``q_offset`` shifts query indices (scalar or ``(B,)``): during decode the
-    single query row sits at absolute position ``q_offset``.  ``kv_valid`` is
+    single query row sits at absolute position ``q_offset``.  ``kv_offset``
+    shifts key indices the same way — a ring-SP step evaluates the local
+    query rows against a remote K/V block whose columns live at absolute
+    positions ``kv_offset .. kv_offset + kv_len``.  ``kv_valid`` is
     an optional ``(B, kv_len)`` 0/1 validity (padding) mask applied to keys,
     mirroring the reference's zeroing of padded columns (``vlm.py:434-438``).
     """
@@ -106,6 +110,8 @@ def allowed_mask(
     q_offset = jnp.broadcast_to(q_offset, (b,))
     q_pos = q_pos + q_offset[:, None, None]
     k_pos = jax.lax.broadcasted_iota(jnp.int32, (b, q_len, kv_len), 2)
+    kv_offset = jnp.asarray(kv_offset, jnp.int32)
+    k_pos = k_pos + jnp.broadcast_to(kv_offset, (b,))[:, None, None]
 
     causal = k_pos <= q_pos
 
