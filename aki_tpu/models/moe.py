@@ -4,12 +4,18 @@ The reference model family is dense (Phi-3.5-mini — SURVEY §2.6: "EP/MoE
 absent").  aki_tpu ships MoE as a first-class decoder option so the
 framework covers every parallelism mode on TPU:
 
-- **Dense one-hot dispatch** (Shazeer-style): top-k routing produces a
-  (B, T, E, C) dispatch tensor via an in-expert-position one-hot; tokens
-  move to per-expert buffers with one einsum and come back with another.
-  No ragged shapes, no sorting — everything is static-shape matmuls the
-  MXU likes, and capacity overflow drops tokens exactly like the classic
-  TPU MoE stacks.
+- **Capacity-bounded scatter dispatch** (default): top-k routing computes
+  each (token, choice)'s position inside its expert's buffer with one
+  cumsum, then tokens move to the per-expert (E, C, D) buffers with a
+  single unique-index scatter and come back with a gather — O(N·k·D)
+  data movement and an O(N·k·E) int transient, static shapes throughout.
+  Capacity overflow drops tokens exactly like the classic TPU MoE stacks.
+- **Dense one-hot dispatch** (``dispatch="dense"``): the Shazeer-style
+  (N, E, C) one-hot einsum formulation — kept as the differential oracle
+  for the scatter path. Its dispatch matmul costs O(N²·k·D) FLOPs and the
+  (N, k, E, C) slot one-hot grows O(k²·N²), which is why it is no longer
+  the default: at 4B-scale token counts (~10k tokens/step) the transient
+  alone reaches GB scale, while the scatter path stays linear in N.
 - **Expert parallelism**: expert weights carry a leading E dim sharded
   over the ``expert`` mesh axis (``parallel/sharding.py`` rule); a
   ``with_sharding_constraint`` pins the dispatched (E, ...) buffer to the
@@ -20,14 +26,6 @@ framework covers every parallelism mode on TPU:
 ``moe_mlp`` is a drop-in replacement for the SiLU-gated dense MLP in
 ``models/phi3.py`` — same (B, T, D) -> (B, T, D) contract, gated by
 ``Phi3Config.moe``.
-
-Scaling limit of the dense dispatch: the (N, k, E, C) one-hot tensor has
-C ~ N*k/E, so its transient footprint grows as O(k^2 * N^2) per layer —
-fine at the tested geometries (and the EP-sharded (E, C, D) buffers are
-what persist), but at 4B-scale token counts (~10k tokens/step) the
-dispatch one-hot alone reaches GB scale. Before running MoE at that
-geometry, switch dispatch to a chunked or sort-based (ragged) scheme;
-the routing/aux contract here stays the same.
 """
 
 from __future__ import annotations
@@ -62,8 +60,11 @@ def moe_mlp(
     x: jax.Array,            # (B, T, D)
     cfg: MoEConfig,
     mesh=None,
+    dispatch: str = "scatter",
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (output (B, T, D), aux load-balancing loss scalar)."""
+    if dispatch not in ("scatter", "dense"):
+        raise ValueError(f"dispatch {dispatch!r}")
     b, t, d = x.shape
     e, k = cfg.num_experts, cfg.top_k
     n_tok = b * t
@@ -90,21 +91,34 @@ def moe_mlp(
     pos = (pos_flat * flat).sum(-1).reshape(k, n_tok).T           # (N, k)
     in_cap = pos < cap
     keep = in_cap & (top_p > 0)
+    gk = gates.astype(x.dtype) * keep.astype(x.dtype)             # (N, k)
 
-    # (N, k, E, C) slot one-hot, built ONCE: 1 where choice (n, k) lands in
-    # expert slot (e, c); dispatch and combine differ only by the scalar
-    # gate factor per (n, k)
-    ek = (
-        jax.nn.one_hot(top_idx, e, dtype=x.dtype)[..., None]
-        * jax.nn.one_hot(jnp.where(keep, pos, cap), cap + 1,
-                         dtype=x.dtype)[..., :cap][:, :, None, :]
-    )
-    dis = ek.sum(1)                                               # (N, E, C)
-    combine = (
-        (gates.astype(x.dtype) * keep.astype(x.dtype))[..., None, None] * ek
-    ).sum(1)                                                      # (N, E, C)
+    if dispatch == "scatter":
+        # flat slot index e*C + pos per (token, choice); dropped choices
+        # get index E*C, out of bounds -> scatter mode="drop" discards
+        # them. (expert, pos) pairs are unique by construction, so the
+        # scatter has no collisions.
+        slot = jnp.where(keep, top_idx * cap + pos, e * cap)      # (N, k)
+        tok_of = jnp.broadcast_to(
+            jnp.arange(n_tok, dtype=jnp.int32)[:, None], (n_tok, k)
+        ).reshape(-1)
+        buf = (
+            jnp.zeros((e * cap, d), x.dtype)
+            .at[slot.reshape(-1)]
+            .set(jnp.take(xf, tok_of, axis=0), mode="drop")
+            .reshape(e, cap, d)
+        )
+    else:
+        # (N, k, E, C) slot one-hot, built ONCE: 1 where choice (n, k)
+        # lands in expert slot (e, c)
+        ek = (
+            jax.nn.one_hot(top_idx, e, dtype=x.dtype)[..., None]
+            * jax.nn.one_hot(jnp.where(keep, pos, cap), cap + 1,
+                             dtype=x.dtype)[..., :cap][:, :, None, :]
+        )
+        dis = ek.sum(1)                                           # (N, E, C)
+        buf = jnp.einsum("nec,nd->ecd", dis, xf)                  # (E, C, D)
 
-    buf = jnp.einsum("nec,nd->ecd", dis, xf)                      # (E, C, D)
     if mesh is not None and "expert" in mesh.shape:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -120,7 +134,15 @@ def moe_mlp(
     h = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
     out_buf = jnp.einsum("ecf,efd->ecd", h, wd)                   # (E, C, D)
 
-    out = jnp.einsum("nec,ecd->nd", combine, out_buf)
+    if dispatch == "scatter":
+        # gather each kept choice's expert output row; dropped choices
+        # read a zero fill and their gk is 0 anyway
+        rows = jnp.take(out_buf.reshape(e * cap, d), slot.reshape(-1),
+                        axis=0, mode="fill", fill_value=0)
+        out = jnp.sum(rows.reshape(n_tok, k, d) * gk[..., None], axis=1)
+    else:
+        combine = (gk[..., None, None] * ek).sum(1)               # (N, E, C)
+        out = jnp.einsum("nec,ecd->nd", combine, out_buf)
 
     # Switch-transformer aux loss: E * mean_e(frac_tokens_e * frac_prob_e)
     frac_tokens = jnp.mean(
