@@ -393,7 +393,10 @@ class ServingEngine:
         mid-traffic."""
         s = self.cfg.siglip.image_size
         for t in self.prompt_buckets:
-            b = 1
+            # non-max buckets serve only FULL admissions (_admit_many routes
+            # partial batches to the max bucket), so they need exactly one
+            # compiled size; the max bucket warms every power of two
+            b = 1 if t == self.prompt_bucket else self.admit_batch
             while True:
                 ids = np.full((b, t), self.cfg.pad_token_id, np.int32)
                 valid = np.zeros((b, t), np.int32)
@@ -518,9 +521,17 @@ class ServingEngine:
         while b < len(reqs):
             b *= 2
         b = min(b, self.admit_batch)
-        # smallest bucket covering the batch's longest prompt
-        need = max(min(len(r.input_ids), self.prompt_bucket) for r in reqs)
-        t = next(bk for bk in self.prompt_buckets if bk >= need)
+        # smallest bucket covering the batch's longest prompt — but only
+        # FULL batches use the tight buckets: partial (tail) admissions run
+        # at the max bucket so warmup compiles O(buckets + sizes) programs,
+        # not O(buckets x sizes) (each 4B compile through a tunneled
+        # runtime is tens of seconds)
+        if b < self.admit_batch and len(self.prompt_buckets) > 1:
+            t = self.prompt_bucket
+        else:
+            need = max(min(len(r.input_ids), self.prompt_bucket)
+                       for r in reqs)
+            t = next(bk for bk in self.prompt_buckets if bk >= need)
         ids = np.full((b, t), self.cfg.pad_token_id, np.int32)
         valid = np.zeros((b, t), np.int32)
         slot_idx = np.full((b,), self.num_slots, np.int32)  # OOB -> drop
@@ -568,13 +579,13 @@ class ServingEngine:
         only admitted when nothing more is coming.
 
         With several prompt buckets configured, admission picks the
-        ``admit_batch`` SHORTEST prompts from a bounded FIFO window
-        (2 x admit_batch oldest) — a batch's prefill runs at the bucket of
-        its LONGEST prompt, so mixing one long prompt into fifteen short
-        ones wastes the whole batch's headroom. Anti-starvation: the
-        head-of-line request is force-included after being passed over
-        once, so under sustained short-prompt traffic a long prompt waits
-        at most two admissions."""
+        ``admit_batch`` SHORTEST prompts from the whole backlog — a
+        batch's prefill runs at the bucket of its LONGEST prompt, so
+        mixing one long prompt into fifteen short ones wastes the whole
+        batch's headroom. Anti-starvation: the head-of-line request is
+        force-included after being passed over once, so under sustained
+        short-prompt traffic a long prompt waits at most two
+        admissions."""
         while True:
             # drain the thread-safe queue into the local ready list
             while True:
@@ -597,7 +608,17 @@ class ServingEngine:
                     return   # a fuller batch is forming — hold
             n_take = min(len(free), self.admit_batch, ready)
             if len(self.prompt_buckets) > 1:
-                window = list(range(min(ready, 2 * self.admit_batch)))
+                # Length-sort the WHOLE backlog, not a bounded window: under
+                # a deep backlog the admit_batch shortest of the full list
+                # form a tight length band that stays inside a small bucket
+                # (a 2x-admit_batch window's "shortest 16 of 32" straddles
+                # the median and rarely cleared the 3/4 bucket — the round-3
+                # two-bucket experiment measured WORSE for exactly this
+                # reason). Fairness: completion order trades toward
+                # throughput; the head-of-line force-include below still
+                # bounds any single request's wait to two admissions once
+                # it reaches the FIFO head.
+                window = list(range(ready))
                 window.sort(key=lambda i: len(self._ready[i].input_ids))
                 picked = window[:n_take]
                 if 0 not in picked and id(self._ready[0]) == self._head_id:

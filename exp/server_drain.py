@@ -44,9 +44,15 @@ def main():
 
     imgu8 = os.environ.get("IMGU8", "1") == "1"
     compact = os.environ.get("COMPACT", "0") == "1"
+    # BUCKETS="256,320,384,448,512": fine admission buckets (full-backlog
+    # length-sorted batches ride the tightest one; partials use the max)
+    buckets = tuple(
+        int(x) for x in os.environ.get("BUCKETS", str(TEXT_LEN)).split(",")
+    )
     eng = ServingEngine(
         params, cfg, num_slots=SLOTS, max_len=MAX_LEN,
-        prompt_bucket=TEXT_LEN, admit_batch=ADMIT, admit_policy=POLICY,
+        prompt_bucket=TEXT_LEN, prompt_buckets=buckets,
+        admit_batch=ADMIT, admit_policy=POLICY,
         decode_chunk=CHUNK, kv_int8=True, image_uint8=imgu8, policy=policy,
         compact_tail=compact,
     )

@@ -20,6 +20,8 @@ from aki_tpu.parallel.pipeline import pp_param_rules
 from aki_tpu.parallel.sharding import shard_params
 from aki_tpu.train.step import Batch, TrainState, make_train_step
 
+pytestmark = pytest.mark.collective
+
 CFG = aki_tiny()
 
 

@@ -13,6 +13,8 @@ from aki_tpu.models.configs import aki_4b, aki_tiny
 from aki_tpu.parallel.mesh import MeshConfig, create_mesh
 from aki_tpu.parallel.sharding import param_shardings, shard_params
 
+pytestmark = pytest.mark.collective
+
 V5E_HBM = 16 * 1024 ** 3
 
 

@@ -15,6 +15,8 @@ from aki_tpu.parallel.mesh import MeshConfig, batch_sharding, create_mesh
 from aki_tpu.parallel.sharding import shard_params
 from aki_tpu.train.step import Batch, TrainState, make_train_step
 
+pytestmark = pytest.mark.collective
+
 CFG = aki_tiny()
 
 MESHES = [

@@ -8,6 +8,7 @@ interpret mode — the same code path a v5e pod serves with.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -17,6 +18,8 @@ from aki_tpu.models.common import F32
 from aki_tpu.models.configs import aki_tiny
 from aki_tpu.parallel.mesh import MeshConfig, batch_sharding, create_mesh
 from aki_tpu.parallel.sharding import shard_params
+
+pytestmark = pytest.mark.collective
 
 CFG = aki_tiny()
 

@@ -15,6 +15,8 @@ from aki_tpu.train.optim import make_optimizer
 from aki_tpu.train.schedules import cosine_min_lr, make_schedule
 from aki_tpu.train.step import Batch, TrainState, make_train_step
 
+pytestmark = pytest.mark.collective
+
 CFG = aki_tiny()
 
 

@@ -17,6 +17,8 @@ from aki_tpu.train.runner import RunnerConfig, Trainer
 from aki_tpu.parallel.mesh import MeshConfig
 from aki_tpu.train.step import Batch
 
+pytestmark = pytest.mark.collective
+
 CFG = aki_tiny()
 
 
