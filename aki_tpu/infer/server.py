@@ -72,7 +72,8 @@ class ServingEngine:
                  kv_int8: bool = False, admit_policy: str = "greedy",
                  prompt_buckets: tuple[int, ...] | None = None,
                  image_uint8: bool = False, tp_mesh=None,
-                 compact_tail: bool = False, attn_mode: str | None = None):
+                 compact_tail: bool = False, attn_mode: str | None = None,
+                 align_completions: bool = True):
         if admit_policy not in ("greedy", "batched"):
             raise ValueError(f"admit_policy {admit_policy!r}")
         # Tensor-parallel serving over a device mesh: params shard per the
@@ -125,6 +126,15 @@ class ServingEngine:
         # flat in the active-slot count (weight-read bound), so waiting
         # costs little and the drain throughput rises (best img/s).
         self.admit_policy = admit_policy
+        # Completion-aligned admission: pick cohorts by chunks-to-
+        # completion (ceil(max_new_tokens / decode_chunk)) so a batch's
+        # slots free TOGETHER. Decode reads the full live-width cache
+        # every step no matter how many slots are still active; admitting
+        # mixed-budget cohorts was measured as mean occupancy 30/48 on a
+        # 96-request drain — ~35% of decode bandwidth spent re-reading
+        # finished slots' KV. eos early-exit still completes sooner; the
+        # budget is an upper bound the scheduler is allowed to use.
+        self.align_completions = align_completions
         # int8 KV halves slot-cache HBM: the memory-capacity option for
         # more slots / longer contexts (slightly slower per step at bs16,
         # see PERF.md)
@@ -156,6 +166,7 @@ class ServingEngine:
         # geometry). Expansion back to full width is FREE: rows past the
         # live prefix are stale garbage that admission fully overwrites.
         self._live = num_slots
+        self._last_width = num_slots   # decode width used by the last tick
         self._compact_widths = []
         if compact_tail:
             self._compact_widths = sorted(
@@ -607,19 +618,34 @@ class ServingEngine:
                 if min(len(free), ready) < min(self.admit_batch, incoming):
                     return   # a fuller batch is forming — hold
             n_take = min(len(free), self.admit_batch, ready)
-            if len(self.prompt_buckets) > 1:
-                # Length-sort the WHOLE backlog, not a bounded window: under
-                # a deep backlog the admit_batch shortest of the full list
-                # form a tight length band that stays inside a small bucket
-                # (a 2x-admit_batch window's "shortest 16 of 32" straddles
-                # the median and rarely cleared the 3/4 bucket — the round-3
+            if self.align_completions or len(self.prompt_buckets) > 1:
+                # Sort the WHOLE backlog, not a bounded window: under a
+                # deep backlog the admit_batch best-matched of the full
+                # list form a tight band (a 2x-admit_batch window's
+                # "shortest 16 of 32" straddles the median — the round-3
                 # two-bucket experiment measured WORSE for exactly this
-                # reason). Fairness: completion order trades toward
+                # reason). Primary key (align_completions): chunks-to-
+                # completion, so a cohort's slots free TOGETHER — decode
+                # reads the full live-width cache every step regardless of
+                # how many slots are active, and misaligned completions
+                # were measured as mean occupancy 30/48 (35% of the decode
+                # bandwidth spent on finished slots). Secondary: prompt
+                # length, so tight cohorts also ride small prefill
+                # buckets. Fairness: completion order trades toward
                 # throughput; the head-of-line force-include below still
                 # bounds any single request's wait to two admissions once
                 # it reaches the FIFO head.
                 window = list(range(ready))
-                window.sort(key=lambda i: len(self._ready[i].input_ids))
+
+                def _key(i):
+                    r = self._ready[i]
+                    chunks = -(-r.max_new_tokens // self.decode_chunk)
+                    return (
+                        chunks if self.align_completions else 0,
+                        len(r.input_ids),
+                    )
+
+                window.sort(key=_key)
                 picked = window[:n_take]
                 if 0 not in picked and id(self._ready[0]) == self._head_id:
                     # head-of-line was already skipped once — force it in
@@ -724,8 +750,27 @@ class ServingEngine:
             # read bound and flat in the active count — and accounting
             # drops the garbage tokens.
             n = self.decode_chunk
+            live = self._live
+            if self._compact_widths:
+                # Width tracking beyond the drain tail: decode at the
+                # smallest compiled width covering the HIGHEST occupied
+                # slot (free slots are taken in ascending order, so the
+                # ramp-up ticks — admissions still trailing the uploader —
+                # are front-packed). The drain's opening 3-5 ticks run at
+                # 16-32 occupancy; reading the full 48-wide cache for them
+                # wastes ~10 ms/step of the ~27 ms step (the cache read is
+                # the dominant term and scales with the width prefix).
+                # After tail compaction rows are front-packed too, so the
+                # same rule subsumes the old self._live plumbing.
+                hi = 1 + max(i for i, r in enumerate(self.slot_req)
+                             if r is not None)
+                live = next(
+                    (w for w in self._compact_widths if w >= hi),
+                    self.num_slots,
+                )
+            self._last_width = live
             self._rng, sub = jax.random.split(self._rng)
-            self.state, toks = self._get_decode(n, self._live)(
+            self.state, toks = self._get_decode(n, live)(
                 self.params, self.state, jnp.array(active), sub
             )
             snapshot = list(self.slot_req)

@@ -49,12 +49,13 @@ def main():
     buckets = tuple(
         int(x) for x in os.environ.get("BUCKETS", str(TEXT_LEN)).split(",")
     )
+    align = os.environ.get("ALIGN", "1") == "1"
     eng = ServingEngine(
         params, cfg, num_slots=SLOTS, max_len=MAX_LEN,
         prompt_bucket=TEXT_LEN, prompt_buckets=buckets,
         admit_batch=ADMIT, admit_policy=POLICY,
         decode_chunk=CHUNK, kv_int8=True, image_uint8=imgu8, policy=policy,
-        compact_tail=compact,
+        compact_tail=compact, align_completions=align,
     )
 
     s = cfg.siglip.image_size
@@ -91,11 +92,19 @@ def main():
     def step():
         n = orig_step()
         if n:
-            eng._live_trace.append(eng._live)
+            eng._live_trace.append(getattr(eng, "_last_width", eng._live))
         return n
     eng.step = step
 
-    for drain in range(3):
+    # AB=align: alternate align_completions off/on per drain (host-only
+    # toggle, same engine + warmup) — paired drains cancel the shared
+    # host's ±15% drift that single-config runs can't distinguish from
+    # real effects
+    ab = os.environ.get("AB", "")
+    ndrain = int(os.environ.get("NDRAIN", "3"))
+    for drain in range(ndrain):
+        if ab == "align":
+            eng.align_completions = bool(drain % 2)
         admits.clear()
         ticks = []       # active count per decode tick
         t0 = time.perf_counter()
@@ -124,7 +133,9 @@ def main():
                 for i in range(4)]
         lives = getattr(eng, "_live_trace", None)
         print(
-            f"drain{drain}: {NREQ / wall:5.2f} img/s | wall {wall:6.2f}s | "
+            f"drain{drain}"
+            + (f"[align={int(eng.align_completions)}]" if ab else "")
+            + f": {NREQ / wall:5.2f} img/s | wall {wall:6.2f}s | "
             f"host-loop {t_dispatch:5.2f}s (admit-dispatch {adm_ms / 1e3:5.2f}s) | "
             f"decode ticks {n_dec} (= {n_dec * CHUNK} steps) "
             f"occ mean {np.mean(occ):4.1f}/{SLOTS} min {min(occ)} "
