@@ -73,7 +73,8 @@ class ServingEngine:
                  prompt_buckets: tuple[int, ...] | None = None,
                  image_uint8: bool = False, tp_mesh=None,
                  compact_tail: bool = False, attn_mode: str | None = None,
-                 align_completions: bool = True):
+                 align_completions: bool = True,
+                 upload_chunk: int | None = None):
         if admit_policy not in ("greedy", "batched"):
             raise ValueError(f"admit_policy {admit_policy!r}")
         # Tensor-parallel serving over a device mesh: params shard per the
@@ -135,6 +136,14 @@ class ServingEngine:
         # finished slots' KV. eos early-exit still completes sooner; the
         # budget is an upper bound the scheduler is allowed to use.
         self.align_completions = align_completions
+        # Uploader transfer granularity. One admission's rows per transfer
+        # (the default) measured BEST: bigger chunks amortize the ~0.5 s
+        # per-transfer tunnel setup but serialize the ramp — a 48-row
+        # first transfer leaves the chip idle where three pipelined 16-row
+        # transfers overlap cohort 1's prefill+decode with cohort 2's
+        # upload (measured 18.4 -> 15.8 img/s median at upload_chunk=48).
+        self.upload_chunk = (admit_batch if upload_chunk is None
+                             else max(1, upload_chunk))
         # int8 KV halves slot-cache HBM: the memory-capacity option for
         # more slots / longer contexts (slightly slower per step at bs16,
         # see PERF.md)
@@ -199,6 +208,10 @@ class ServingEngine:
         # device executes chunk N+1 — the per-chunk tunnel round-trip
         # (~30 ms) and all bookkeeping hide behind compute.
         self._pending: list = []
+        # decode chunks dispatched so far: the deterministic progress
+        # counter (run_until_drained's tick count includes idle ticks spent
+        # waiting on the uploader thread, which varies with host load)
+        self.decode_dispatches = 0
 
         self._prefill_batch = jax.jit(self._prefill_batch_impl)
         self._insert = jax.jit(self._insert_impl, donate_argnums=(0,))
@@ -459,8 +472,8 @@ class ServingEngine:
                     self._upload_cv.wait()
                 if self._shutdown and not self._upload_q:
                     return
-                batch = self._upload_q[: self.admit_batch]
-                del self._upload_q[: self.admit_batch]
+                batch = self._upload_q[: self.upload_chunk]
+                del self._upload_q[: self.upload_chunk]
                 # count the popped batch as still-pending until its rows
                 # land in the admission queue: between the pop and the
                 # queue.put the transfer is in flight, and a drain loop
@@ -769,6 +782,7 @@ class ServingEngine:
                     self.num_slots,
                 )
             self._last_width = live
+            self.decode_dispatches += 1
             self._rng, sub = jax.random.split(self._rng)
             self.state, toks = self._get_decode(n, live)(
                 self.params, self.state, jnp.array(active), sub

@@ -163,12 +163,17 @@ def main():
         # admission measured WORSE on this drain (12.3 vs 14.0 median —
         # the mixed 256-511 window rarely stays under the 3/4 bucket and
         # long prompts cluster into late, poorly-batched admissions); the
-        # engine keeps the feature for genuinely bimodal traffic
+        # engine keeps the feature for genuinely bimodal traffic.
+        # compact_tail: ramp + tail decode ticks run at the narrow
+        # compiled widths (24/12 at 48 slots) — measured +0.9 img/s on
+        # this drain, and round-4's per-tick width rule adds the ramp
+        # (completion-aligned admission is the engine default)
         eng = ServingEngine(
             params, cfg, num_slots=BATCH, max_len=MAX_LEN,
             prompt_bucket=TEXT_LEN,
             admit_batch=min(16, BATCH), admit_policy="batched",
             kv_int8=KV8, image_uint8=True, policy=policy,
+            compact_tail=True,
         )
         n_req = 2 * BATCH
         rng2 = np.random.RandomState(1)

@@ -50,12 +50,14 @@ def main():
         int(x) for x in os.environ.get("BUCKETS", str(TEXT_LEN)).split(",")
     )
     align = os.environ.get("ALIGN", "1") == "1"
+    upchunk = int(os.environ.get("UPCHUNK", "0")) or None
     eng = ServingEngine(
         params, cfg, num_slots=SLOTS, max_len=MAX_LEN,
         prompt_bucket=TEXT_LEN, prompt_buckets=buckets,
         admit_batch=ADMIT, admit_policy=POLICY,
         decode_chunk=CHUNK, kv_int8=True, image_uint8=imgu8, policy=policy,
         compact_tail=compact, align_completions=align,
+        upload_chunk=upchunk,
     )
 
     s = cfg.siglip.image_size

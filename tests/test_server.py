@@ -162,10 +162,15 @@ def test_server_eos_frees_slot_early():
     r1 = engine.submit(ids, img, max_new_tokens=8, eos_id=eos)
     ids2, img2 = make_prompt(np.random.RandomState(7))
     r2 = engine.submit(ids2, img2, max_new_tokens=3)
-    steps = engine.run_until_drained()
+    engine.run_until_drained()
     assert r1.result(timeout=1) == []     # stopped at eos immediately
     assert len(r2.result(timeout=1)) == 3
-    assert steps <= 8  # early slot free: far fewer than 8+3 sequential steps
+    # early slot free: r2 refills r1's slot at a chunk boundary, so the
+    # drain is a handful of decode chunks — NOT 8+3 sequential steps.
+    # (Counts dispatches, not scheduler ticks: run_until_drained's tick
+    # count includes idle ticks waiting on the uploader thread, which
+    # scales with host load — observed 8..32 for the same drain.)
+    assert engine.decode_dispatches <= 4, engine.decode_dispatches
 
 
 def test_predict_cli_end_to_end(tmp_path):
