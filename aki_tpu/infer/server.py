@@ -74,7 +74,8 @@ class ServingEngine:
                  image_uint8: bool = False, tp_mesh=None,
                  compact_tail: bool = False, attn_mode: str | None = None,
                  align_completions: bool = True,
-                 upload_chunk: int | None = None):
+                 upload_chunk: int | None = None,
+                 upload_threads: int = 2):
         if admit_policy not in ("greedy", "batched"):
             raise ValueError(f"admit_policy {admit_policy!r}")
         # Tensor-parallel serving over a device mesh: params shard per the
@@ -144,6 +145,14 @@ class ServingEngine:
         # upload (measured 18.4 -> 15.8 img/s median at upload_chunk=48).
         self.upload_chunk = (admit_batch if upload_chunk is None
                              else max(1, upload_chunk))
+        # Concurrent uploader threads: device_put transfers through the
+        # tunneled runtime OVERLAP partially — two threads' 16-row chunks
+        # measured 774 -> 594 ms/chunk (the ~0.5 s per-transfer setup
+        # pipelines against the other thread's payload; a third thread
+        # adds nothing, the payload bytes serialize). The uploader wall is
+        # near the drain's critical path (~4.6 s of 5.2 s at 96 requests),
+        # so this buys ~1 s of ramp. exp/upload_overlap.py is the probe.
+        self.upload_threads = max(1, upload_threads)
         # int8 KV halves slot-cache HBM: the memory-capacity option for
         # more slots / longer contexts (slightly slower per step at bs16,
         # see PERF.md)
@@ -201,7 +210,7 @@ class ServingEngine:
         self._upload_q: list[Request] = []
         self._upload_inflight = 0
         self._upload_cv = threading.Condition()
-        self._upload_thread: threading.Thread | None = None
+        self._upload_pool: list[threading.Thread] = []
         self._shutdown = False
         # lag-1 chunks in flight: [(device toks, slot->request snapshot at
         # dispatch time)]. The host fetches chunk N's tokens while the
@@ -438,6 +447,12 @@ class ServingEngine:
                 if b >= self.admit_batch:
                     break
                 b = min(b * 2, self.admit_batch)
+        # one realistic chunk-sized upload: the first big host->device
+        # transfer of a process pays connection/pool setup that otherwise
+        # lands in the first drain's ramp (drain0 measured ~1s slower
+        # than steady state with identical host-loop time)
+        rows = np.zeros((self.upload_chunk, s, s, 3), self._host_dtype)
+        float(np.asarray(self._put(rows)[0, 0, 0, 0]))
         # the decode chunk (fixed-size: step() never dispatches other
         # lengths since budget-aware chunking was removed)
         self._rng, sub = jax.random.split(self._rng)
@@ -465,10 +480,14 @@ class ServingEngine:
                 np.asarray(toks)
             self._live = self.num_slots
 
-    def _uploader_loop(self):
+    def _uploader_loop(self, idx: int = 0):
         while True:
             with self._upload_cv:
-                while not self._upload_q and not self._shutdown:
+                # idx gate: threads past upload_threads idle (lets a live
+                # engine be A/B'd between 1 and N uploaders without
+                # killing threads)
+                while (not self._shutdown
+                       and (not self._upload_q or idx >= self.upload_threads)):
                     self._upload_cv.wait()
                 if self._shutdown and not self._upload_q:
                     return
@@ -480,7 +499,9 @@ class ServingEngine:
                 # that polls _pending_uploads() must not conclude "no
                 # work" mid-transfer (a replicated 8-way device_put is
                 # slow enough to lose the race reliably)
-                self._upload_inflight = len(batch)
+                # additive: several uploader threads may hold chunks in
+                # flight at once
+                self._upload_inflight += len(batch)
             try:
                 rows = np.stack([
                     np.asarray(r.image, self._host_dtype) for r in batch
@@ -496,7 +517,7 @@ class ServingEngine:
                     self.queue.put(r)
             finally:
                 with self._upload_cv:
-                    self._upload_inflight = 0
+                    self._upload_inflight -= len(batch)
 
     def _pending_uploads(self) -> int:
         with self._upload_cv:
@@ -522,13 +543,15 @@ class ServingEngine:
         # engine keeps decoding while it runs. The request only becomes
         # admissible once its pixels are resident.
         with self._upload_cv:
-            if self._upload_thread is None:
-                self._upload_thread = threading.Thread(
-                    target=self._uploader_loop, daemon=True
+            while len(self._upload_pool) < self.upload_threads:
+                t = threading.Thread(
+                    target=self._uploader_loop,
+                    args=(len(self._upload_pool),), daemon=True,
                 )
-                self._upload_thread.start()
+                self._upload_pool.append(t)
+                t.start()
             self._upload_q.append(req)
-            self._upload_cv.notify()
+            self._upload_cv.notify_all()
         return req
 
     def _admit_many(self, slots: list[int], reqs: list[Request]):

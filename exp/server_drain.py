@@ -51,13 +51,14 @@ def main():
     )
     align = os.environ.get("ALIGN", "1") == "1"
     upchunk = int(os.environ.get("UPCHUNK", "0")) or None
+    upthreads = int(os.environ.get("UPTHREADS", "2"))
     eng = ServingEngine(
         params, cfg, num_slots=SLOTS, max_len=MAX_LEN,
         prompt_bucket=TEXT_LEN, prompt_buckets=buckets,
         admit_batch=ADMIT, admit_policy=POLICY,
         decode_chunk=CHUNK, kv_int8=True, image_uint8=imgu8, policy=policy,
         compact_tail=compact, align_completions=align,
-        upload_chunk=upchunk,
+        upload_chunk=upchunk, upload_threads=upthreads,
     )
 
     s = cfg.siglip.image_size
@@ -107,6 +108,9 @@ def main():
     for drain in range(ndrain):
         if ab == "align":
             eng.align_completions = bool(drain % 2)
+        elif ab == "upthreads":
+            # pool grows on demand in submit(); the idx gate idles extras
+            eng.upload_threads = 2 if drain % 2 else 1
         admits.clear()
         ticks = []       # active count per decode tick
         t0 = time.perf_counter()
@@ -134,9 +138,14 @@ def main():
         hist = [sum(1 for t in occ if (i * q) < t <= (i + 1) * q)
                 for i in range(4)]
         lives = getattr(eng, "_live_trace", None)
+        tag = ""
+        if ab == "align":
+            tag = f"[align={int(eng.align_completions)}]"
+        elif ab == "upthreads":
+            tag = f"[upthreads={eng.upload_threads}]"
         print(
             f"drain{drain}"
-            + (f"[align={int(eng.align_completions)}]" if ab else "")
+            + tag
             + f": {NREQ / wall:5.2f} img/s | wall {wall:6.2f}s | "
             f"host-loop {t_dispatch:5.2f}s (admit-dispatch {adm_ms / 1e3:5.2f}s) | "
             f"decode ticks {n_dec} (= {n_dec * CHUNK} steps) "
