@@ -75,7 +75,8 @@ class ServingEngine:
                  compact_tail: bool = False, attn_mode: str | None = None,
                  align_completions: bool = True,
                  upload_chunk: int | None = None,
-                 upload_threads: int = 2):
+                 upload_threads: int = 2,
+                 upload_ramp: bool = True):
         if admit_policy not in ("greedy", "batched"):
             raise ValueError(f"admit_policy {admit_policy!r}")
         # Tensor-parallel serving over a device mesh: params shard per the
@@ -153,6 +154,13 @@ class ServingEngine:
         # near the drain's critical path (~4.6 s of 5.2 s at 96 requests),
         # so this buys ~1 s of ramp. exp/upload_overlap.py is the probe.
         self.upload_threads = max(1, upload_threads)
+        # Ramp chunking: the chip idles until the FIRST upload lands (an
+        # admission needs admit_batch device-resident rows), so the first
+        # pop per uploader thread of each burst moves a HALF chunk —
+        # 2 threads x 8 rows seed the first bs16 admission ~0.3 s sooner
+        # than one 16-row transfer, then full chunks amortize the setup.
+        self.upload_ramp = upload_ramp
+        self._ramp_pops = self.upload_threads if upload_ramp else 0
         # int8 KV halves slot-cache HBM: the memory-capacity option for
         # more slots / longer contexts (slightly slower per step at bs16,
         # see PERF.md)
@@ -491,8 +499,12 @@ class ServingEngine:
                     self._upload_cv.wait()
                 if self._shutdown and not self._upload_q:
                     return
-                batch = self._upload_q[: self.upload_chunk]
-                del self._upload_q[: self.upload_chunk]
+                n = self.upload_chunk
+                if self._ramp_pops > 0:
+                    self._ramp_pops -= 1
+                    n = max(1, n // 2)
+                batch = self._upload_q[:n]
+                del self._upload_q[:n]
                 # count the popped batch as still-pending until its rows
                 # land in the admission queue: between the pop and the
                 # queue.put the transfer is in flight, and a drain loop
@@ -550,6 +562,10 @@ class ServingEngine:
                 )
                 self._upload_pool.append(t)
                 t.start()
+            if (self.upload_ramp and not self._upload_q
+                    and self._upload_inflight == 0):
+                # a fresh burst: seed the first admissions with half chunks
+                self._ramp_pops = self.upload_threads
             self._upload_q.append(req)
             self._upload_cv.notify_all()
         return req

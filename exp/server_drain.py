@@ -111,6 +111,9 @@ def main():
         elif ab == "upthreads":
             # pool grows on demand in submit(); the idx gate idles extras
             eng.upload_threads = 2 if drain % 2 else 1
+        elif ab == "upramp":
+            eng.upload_ramp = bool(drain % 2)
+            eng._ramp_pops = 0
         admits.clear()
         ticks = []       # active count per decode tick
         t0 = time.perf_counter()
@@ -143,6 +146,8 @@ def main():
             tag = f"[align={int(eng.align_completions)}]"
         elif ab == "upthreads":
             tag = f"[upthreads={eng.upload_threads}]"
+        elif ab == "upramp":
+            tag = f"[upramp={int(eng.upload_ramp)}]"
         print(
             f"drain{drain}"
             + tag
