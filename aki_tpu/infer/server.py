@@ -230,7 +230,12 @@ class ServingEngine:
         # waiting on the uploader thread, which varies with host load)
         self.decode_dispatches = 0
 
-        self._prefill_batch = jax.jit(self._prefill_batch_impl)
+        # donate the slot state: the fused admission prefill updates it
+        # in place (argnums count from the bound method's params arg)
+        self._prefill_batch = jax.jit(self._prefill_batch_impl,
+                                      donate_argnums=(4,))
+        # split-path insert kept as the fused path's differential oracle
+        # (tests) — production admission no longer calls it
         self._insert = jax.jit(self._insert_impl, donate_argnums=(0,))
         # tail-compaction row moves: same-shape donation aliases the full
         # buffers, and the <=8-row chunk bounds the gather temp to ~1 GB
@@ -354,7 +359,13 @@ class ServingEngine:
         return self._decode_fns[(n, live)]
 
     # -- jitted device functions ---------------------------------------------
-    def _prefill_batch_impl(self, params, ids, img, valid):
+    def _prefill_batch_impl(self, params, ids, img, valid, state, slots):
+        """Fused admission: prefill writes K/V straight into the donated
+        slot cache (row r -> slot ``slots[r]``; index == num_slots drops
+        padded rows) and scatters the bookkeeping — no temp batch-sized
+        GenState, no separate insert pass (which cost ~21.5 ms per bs16
+        admission at AKI-4B plus a 16-row temp cache of HBM,
+        exp/admit_split.py)."""
         if self.image_uint8:
             # device-side normalization of uint8 RGB ingress; identical to
             # the host path (x/255 - 0.5)/0.5 == x/127.5 - 1
@@ -362,7 +373,8 @@ class ServingEngine:
         return prefill(params, self.cfg, ids, img, valid,
                        max_len=self.max_len, policy=self.policy,
                        kv_int8=self.kv_int8, tp_mesh=self.tp_mesh,
-                       attn_mode=self.attn_mode)
+                       attn_mode=self.attn_mode,
+                       slot_state=state, slots=slots)
 
     def _insert_impl(self, state: GenState, new: GenState, slots):
         """Scatter all admit_batch rows of ``new`` into their slots; padded
@@ -444,13 +456,12 @@ class ServingEngine:
                 valid[:, 0] = 1
                 imgs = jnp.stack([self._zero_img] * b)
                 slot_idx = np.full((b,), self.num_slots, np.int32)  # drop
-                new = self._prefill_batch(
-                    self.params, jnp.array(ids), imgs, jnp.array(valid)
+                self.state = self._prefill_batch(
+                    self.params, jnp.array(ids), imgs, jnp.array(valid),
+                    self.state, jnp.array(slot_idx),
                 )
-                self.state = self._insert(self.state, new, jnp.array(slot_idx))
-                del new
                 # serialize: with async dispatch every warmup size's
-                # prefill state would be live at once (HBM OOM at 4B)
+                # prefill activations would be live at once (HBM OOM at 4B)
                 np.asarray(self.state.lengths)
                 if b >= self.admit_batch:
                     break
@@ -619,10 +630,10 @@ class ServingEngine:
             ]))
         else:
             imgs = jnp.stack(img_rows)   # all rows already on device
-        new = self._prefill_batch(
-            self.params, jnp.array(ids), imgs, jnp.array(valid)
+        self.state = self._prefill_batch(
+            self.params, jnp.array(ids), imgs, jnp.array(valid),
+            self.state, jnp.array(slot_idx),
         )
-        self.state = self._insert(self.state, new, jnp.array(slot_idx))
         for slot, req in zip(slots, reqs):
             self.slot_req[slot] = req
             req._tokens = []

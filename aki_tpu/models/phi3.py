@@ -184,6 +184,29 @@ def _scatter_flat(cache: jax.Array, new: jax.Array, layer: jax.Array,
     )
 
 
+def _store_prefill(cache: jax.Array, new: jax.Array, layer,
+                   cache_slots: jax.Array | None) -> jax.Array:
+    """Write one layer's prefill block into the stacked cache.
+
+    ``cache_slots`` None: the cache belongs to the prefill batch itself
+    (cache rows == batch rows) — one contiguous dynamic-update-slice at
+    row 0 (the offline/generate path). Otherwise row r scatters into slot
+    ``cache_slots[r]`` of a WIDER serving cache (``mode="drop"``: index ==
+    cache width drops padded rows) — the admission prefill then writes
+    straight into the donated slot cache, skipping the temp-state insert
+    scatter (~21.5 ms per bs16 admission at AKI-4B, exp/admit_split.py)
+    and its 16-row temp cache HBM footprint."""
+    if cache_slots is None:
+        idx = (layer,) + (0,) * (cache.ndim - 1)
+        return jax.lax.dynamic_update_slice(
+            cache, new[None].astype(cache.dtype), idx
+        )
+    t = new.shape[1]
+    return cache.at[layer, cache_slots, :t].set(
+        new.astype(cache.dtype), mode="drop"
+    )
+
+
 def _attention_layer(
     x: jax.Array,
     lp: Params,
@@ -201,6 +224,7 @@ def _attention_layer(
     sp_mesh=None,
     ep_mesh=None,
     live_width: int | None = None,
+    cache_slots: jax.Array | None = None,
 ):
     b, t, d = x.shape
     nh, nkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -251,12 +275,10 @@ def _attention_layer(
             )
             attn_flat = attn4.reshape(b, 1, nh * dp)
         else:
-            ck8 = jax.lax.dynamic_update_slice(ck8, k8[None], (li, 0, 0, 0))
-            cks = jax.lax.dynamic_update_slice(
-                cks, ksc[None], (li, 0, 0, 0))
-            cv8 = jax.lax.dynamic_update_slice(cv8, v8[None], (li, 0, 0, 0))
-            cvs = jax.lax.dynamic_update_slice(
-                cvs, vsc[None], (li, 0, 0, 0))
+            ck8 = _store_prefill(ck8, k8, li, cache_slots)
+            cks = _store_prefill(cks, ksc, li, cache_slots)
+            cv8 = _store_prefill(cv8, v8, li, cache_slots)
+            cvs = _store_prefill(cvs, vsc, li, cache_slots)
             # prefill: the flat path is always quantized serving — use
             # the XLA bf16-prob MMA path (pad lanes are zeros, so dots
             # over dp lanes equal dots over dh; pass the real-dh scale)
@@ -324,21 +346,13 @@ def _attention_layer(
                     q, ck8, cks, cv8, cvs, lengths, li,
                 )
         else:
-            # prefill: quantize+store the whole block (one contiguous
-            # DUS); attention runs on the local bf16 K/V — no need to
-            # read the quantized copy back
-            ck8 = jax.lax.dynamic_update_slice(
-                ck8, k8[None], (li, 0, 0, 0)
-            )
-            cks = jax.lax.dynamic_update_slice(
-                cks, ksc[None], (li, 0, 0, 0)
-            )
-            cv8 = jax.lax.dynamic_update_slice(
-                cv8, v8[None], (li, 0, 0, 0)
-            )
-            cvs = jax.lax.dynamic_update_slice(
-                cvs, vsc[None], (li, 0, 0, 0)
-            )
+            # prefill: quantize+store the whole block (contiguous DUS, or
+            # slot scatter under cache_slots); attention runs on the
+            # local bf16 K/V — no need to read the quantized copy back
+            ck8 = _store_prefill(ck8, k8, li, cache_slots)
+            cks = _store_prefill(cks, ksc, li, cache_slots)
+            cv8 = _store_prefill(cv8, v8, li, cache_slots)
+            cvs = _store_prefill(cvs, vsc, li, cache_slots)
             k_att, v_att = k, v
             kv_valid_att = kv_valid[:, :t] if kv_valid is not None else None
         new_cache = (ck8, cks, cv8, cvs)
@@ -350,17 +364,21 @@ def _attention_layer(
             cv = _scatter_cache(cv, v, li, wpos)
         else:
             # prefill: the engine writes the whole block at slot 0 — one
-            # contiguous dynamic-update-slice per layer
-            ck = jax.lax.dynamic_update_slice(
-                ck, k.astype(ck.dtype)[None], (li, 0, 0, 0, 0)
-            )
-            cv = jax.lax.dynamic_update_slice(
-                cv, v.astype(cv.dtype)[None], (li, 0, 0, 0, 0)
-            )
+            # contiguous dynamic-update-slice per layer (or a slot
+            # scatter into a wider serving cache under cache_slots)
+            ck = _store_prefill(ck, k, li, cache_slots)
+            cv = _store_prefill(cv, v, li, cache_slots)
         new_cache = (ck, cv)
-        k_att = jax.lax.dynamic_index_in_dim(ck, li, 0, keepdims=False)
-        v_att = jax.lax.dynamic_index_in_dim(cv, li, 0, keepdims=False)
-        k_att, v_att = k_att.astype(q.dtype), v_att.astype(q.dtype)
+        if t > 1 and cache_slots is not None:
+            # slot-scatter prefill: the cache is WIDER than the batch —
+            # attend over the local K/V block like the q8 path (the cache
+            # is write-only here)
+            k_att, v_att = k, v
+            kv_valid_att = kv_valid[:, :t] if kv_valid is not None else None
+        else:
+            k_att = jax.lax.dynamic_index_in_dim(ck, li, 0, keepdims=False)
+            v_att = jax.lax.dynamic_index_in_dim(cv, li, 0, keepdims=False)
+            k_att, v_att = k_att.astype(q.dtype), v_att.astype(q.dtype)
     else:
         k_att, v_att = k, v
 
@@ -458,6 +476,7 @@ def phi3_forward(
     ep_mesh=None,
     with_aux: bool = False,
     live_width: int | None = None,
+    cache_slots: jax.Array | None = None,
 ) -> tuple[jax.Array, KVCache | None]:
     """Run the decoder stack over ``inputs_embeds``.
 
@@ -518,6 +537,7 @@ def phi3_forward(
                     x, lp, cos, sin, cfg, spec, kv_valid, q_offset,
                     ("q8", k8, ks, v8, vs, li, wpos), use_flash, eps,
                     tp_mesh, live_width=live_width,
+                    cache_slots=cache_slots,
                 )
                 return (y, *new_kv), None
 
@@ -533,6 +553,7 @@ def phi3_forward(
                 y, new_kv, _ = _attention_layer(
                     x, lp, cos, sin, cfg, spec, kv_valid, q_offset,
                     ("bf16", ck, cv, li, wpos), use_flash, eps, tp_mesh,
+                    cache_slots=cache_slots,
                 )
                 return (y, new_kv[0], new_kv[1]), None
 

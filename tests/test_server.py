@@ -246,3 +246,46 @@ def test_server_windowed_admission_no_starvation():
     engine.run_until_drained()
     for req in reqs:
         assert len(req.result(timeout=1)) > 0  # everyone completed
+
+
+def test_fused_admission_matches_split_insert():
+    """The fused admission prefill (K/V scattered straight into the
+    donated slot cache, `prefill(slot_state=..., slots=...)`) must produce
+    a state identical to the split oracle (batch-sized prefill + `_insert`
+    scatter) — on fresh engines, where both leave untouched rows zero.
+    Covers live rows, a dropped pad row (slot index == num_slots), and
+    both cache dtypes."""
+    from aki_tpu.infer.engine import prefill
+
+    params = init_aki(jax.random.PRNGKey(0), CFG)
+    for kv8 in (False, True):
+        eng_a = ServingEngine(params, CFG, num_slots=3, max_len=48,
+                              prompt_bucket=12, policy=F32, kv_int8=kv8)
+        eng_b = ServingEngine(params, CFG, num_slots=3, max_len=48,
+                              prompt_bucket=12, policy=F32, kv_int8=kv8)
+        rng = np.random.RandomState(7)
+        ids = np.stack([make_prompt(rng)[0] for _ in range(2)]).astype(np.int32)
+        imgs = np.stack([make_prompt(rng)[1] for _ in range(2)])
+        valid = np.ones((2, 12), np.int32)
+        slots = jnp.array([2, 3], jnp.int32)  # row 1 drops (== num_slots)
+
+        eng_a.state = eng_a._prefill_batch(
+            params, jnp.array(ids), jnp.array(imgs), jnp.array(valid),
+            eng_a.state, slots,
+        )
+        new = prefill(params, CFG, jnp.array(ids), jnp.array(imgs),
+                      jnp.array(valid), max_len=48, policy=F32,
+                      kv_int8=kv8)
+        eng_b.state = eng_b._insert(eng_b.state, new, slots)
+
+        la, lb = jax.tree.leaves(eng_a.state), jax.tree.leaves(eng_b.state)
+        for xa, xb in zip(la, lb):
+            if np.issubdtype(np.asarray(xa).dtype, np.integer):
+                np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+            else:
+                # two distinct XLA programs (fused vs split) round float
+                # intermediates differently — observed max 1e-7
+                np.testing.assert_allclose(
+                    np.asarray(xa, np.float32), np.asarray(xb, np.float32),
+                    rtol=1e-5, atol=1e-5,
+                )
