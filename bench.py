@@ -152,8 +152,11 @@ def main():
         jax.clear_caches()
 
         # drain workload: int8 slots (48 fit where bf16 OOMs at 24) +
-        # batched admission at bs16 (a bs16 prefill is ~offline MXU
-        # efficiency; greedy bs1-2 refill prefills were the measured
+        # batched admission at bs32 (paired drain A/B, exp/server_drain.py
+        # AB=admit: 16 -> 32 is +1.8 img/s mean with far lower variance —
+        # 3 admissions instead of 6, each nearer offline MXU efficiency;
+        # 32 vs 48 is a wash and 48 serializes the drain into two phases.
+        # Greedy bs1-2 refill prefills were the original measured
         # throughput killer — decode stalls for a near-bs1-cost prefill
         # every time one slot frees)
         # uint8 ingress (image_uint8=True): clients send resized RGB
@@ -171,7 +174,7 @@ def main():
         eng = ServingEngine(
             params, cfg, num_slots=BATCH, max_len=MAX_LEN,
             prompt_bucket=TEXT_LEN,
-            admit_batch=min(16, BATCH), admit_policy="batched",
+            admit_batch=min(32, BATCH), admit_policy="batched",
             kv_int8=KV8, image_uint8=True, policy=policy,
             compact_tail=True,
         )

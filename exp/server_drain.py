@@ -114,6 +114,14 @@ def main():
         elif ab == "upramp":
             eng.upload_ramp = bool(drain % 2)
             eng._ramp_pops = 0
+        elif ab == "admit":
+            # construct with ADMIT=<max> UPCHUNK=16 so warmup compiles
+            # every power of two up to the max and uploads deliver
+            # identically; the toggle itself is host-only scheduling state.
+            # ABADMIT="16,32" gives the two arms.
+            lo, hi = (int(x) for x in
+                      os.environ.get("ABADMIT", "16,32").split(","))
+            eng.admit_batch = hi if drain % 2 else lo
         admits.clear()
         ticks = []       # active count per decode tick
         t0 = time.perf_counter()
@@ -148,6 +156,8 @@ def main():
             tag = f"[upthreads={eng.upload_threads}]"
         elif ab == "upramp":
             tag = f"[upramp={int(eng.upload_ramp)}]"
+        elif ab == "admit":
+            tag = f"[admit={eng.admit_batch}]"
         print(
             f"drain{drain}"
             + tag
