@@ -229,6 +229,19 @@ class ServingEngine:
         # counter (run_until_drained's tick count includes idle ticks spent
         # waiting on the uploader thread, which varies with host load)
         self.decode_dispatches = 0
+        # device-program dispatch log: (kind, key, host wall timestamp).
+        # kind "decode" keys (chunk_len, live_width); kind "prefill" keys
+        # (batch, bucket). A drain's chip-busy fraction is
+        # sum(count[key] * independently-measured device time[key]) / wall
+        # — the tunneled runtime can't report device time in-band
+        # (block_until_ready doesn't block), so attribution replays each
+        # compiled program amortized and multiplies by these counts
+        # (exp/server_chipbusy.py).
+        self.dispatch_log: list = []
+        # per-request completion wall timestamps (host accounting time):
+        # lets a long drain report its steady-state middle-window rate,
+        # excluding the cold ramp and the occupancy tail
+        self.completion_log: list = []
 
         # donate the slot state: the fused admission prefill updates it
         # in place (argnums count from the bound method's params arg)
@@ -630,6 +643,9 @@ class ServingEngine:
             ]))
         else:
             imgs = jnp.stack(img_rows)   # all rows already on device
+        import time as _time
+
+        self.dispatch_log.append(("prefill", (b, t), _time.perf_counter()))
         self.state = self._prefill_batch(
             self.params, jnp.array(ids), imgs, jnp.array(valid),
             self.state, jnp.array(slot_idx),
@@ -744,6 +760,9 @@ class ServingEngine:
                 if not done:
                     req._tokens.append(t)
                 if done or len(req._tokens) >= req.max_new_tokens:
+                    import time as _time
+
+                    self.completion_log.append(_time.perf_counter())
                     req._result.put(req._tokens)
                     # free by IDENTITY, not snapshot index: tail
                     # compaction may have moved the request to a
@@ -833,6 +852,11 @@ class ServingEngine:
                 )
             self._last_width = live
             self.decode_dispatches += 1
+            import time as _time
+
+            self.dispatch_log.append(
+                ("decode", (n, live), _time.perf_counter())
+            )
             self._rng, sub = jax.random.split(self._rng)
             self.state, toks = self._get_decode(n, live)(
                 self.params, self.state, jnp.array(active), sub

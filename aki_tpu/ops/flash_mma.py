@@ -20,10 +20,12 @@ Q tile (beyond the causal frontier and outside the MMA block) are skipped
 with ``pl.when`` — the same block-sparsity the causal skip gives standard
 flash kernels, extended with the MMA rectangle.
 
-Backward: ``jax.custom_vjp`` with a rematerialized dense backward — exact
-same masked-softmax math, so gradients match the oracle bit-for-bit in
-fp32.  AKI sequences are short (~0.7k tokens spliced), so the O(T^2)
-backward logits are cheap; a flash backward kernel is a later optimization.
+Backward: ``jax.custom_vjp`` dispatching on ``BACKWARD_IMPL`` (below, next
+to ``_flash_fwd``).  The default is the Pallas flash backward
+(``flash_mma_bwd.run_backward`` — no (T,S) matrices ever hit HBM, O(1)
+residuals beyond q/k/v/out); ``"dense"`` keeps the rematerialized dense
+oracle (exact same masked-softmax math, O(T^2) logits) for tests and
+debugging.
 """
 
 from __future__ import annotations

@@ -171,12 +171,17 @@ def main():
         # compiled widths (24/12 at 48 slots) — measured +0.9 img/s on
         # this drain, and round-4's per-tick width rule adds the ramp
         # (completion-aligned admission is the engine default)
+        # upload_chunk pinned to 16 EXPLICITLY: the admit-depth A/B that
+        # justified admit_batch=32 held UPCHUNK=16 in both arms, and the
+        # engine's default (upload_chunk = admit_batch) would silently
+        # double it — bigger chunks serialize the upload ramp (48-row
+        # chunks measured 18.4 -> 15.8 img/s). Advisor round-4 finding.
         eng = ServingEngine(
             params, cfg, num_slots=BATCH, max_len=MAX_LEN,
             prompt_bucket=TEXT_LEN,
             admit_batch=min(32, BATCH), admit_policy="batched",
             kv_int8=KV8, image_uint8=True, policy=policy,
-            compact_tail=True,
+            compact_tail=True, upload_chunk=16,
         )
         n_req = 2 * BATCH
         rng2 = np.random.RandomState(1)

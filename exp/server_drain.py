@@ -121,6 +121,15 @@ def main():
             # ABADMIT="16,32" gives the two arms.
             lo, hi = (int(x) for x in
                       os.environ.get("ABADMIT", "16,32").split(","))
+            # warmup only compiled admission sizes up to the CONSTRUCTED
+            # admit_batch — a bigger arm would pay a mid-traffic compile
+            # (tens of seconds through the tunnel) and corrupt its drains
+            assert max(lo, hi) <= ADMIT, (
+                f"construct with ADMIT={max(lo, hi)} (got ADMIT={ADMIT}) "
+                "so warmup covers both A/B arms")
+            # tight buckets are only compiled at the constructed size;
+            # a lo-arm FULL batch at a non-max bucket would be uncompiled
+            assert len(buckets) == 1, "AB=admit is single-bucket only"
             eng.admit_batch = hi if drain % 2 else lo
         admits.clear()
         ticks = []       # active count per decode tick
