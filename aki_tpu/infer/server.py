@@ -882,16 +882,40 @@ class ServingEngine:
                 or bool(self._pending)
                 or any(r is not None for r in self.slot_req))
 
-    def run_until_drained(self, max_steps: int = 100000):
+    def run_until_drained(self, max_steps: int = 100000,
+                          idle_timeout: float = 120.0):
+        """Run scheduler ticks until no work remains.
+
+        Idle ticks (nothing decodable — admission held for a forming
+        batch, or the uploader mid-transfer) SLEEP and do not count
+        against ``max_steps``: on a small host the old hot-spin both
+        starved the uploader thread of the GIL and burned through
+        max_steps in seconds, silently returning with requests still
+        queued (observed as unfulfilled handles on the 1-core bench
+        host). A dead uploader now raises after ``idle_timeout`` seconds
+        of consecutive idleness instead of hanging or lying.
+        """
         import time as _time
 
         steps = 0
+        idle_since = None
         while self.has_work() and steps < max_steps:
             n = self.step()
-            if (n == 0 and self.queue.empty() and not self._ready
-                    and self._pending_uploads() > 0):
-                # nothing admissible yet: the uploader is mid-transfer —
-                # yield instead of hot-spinning empty scheduler ticks
+            if n == 0 and self.has_work():
+                # nothing decodable: waiting on uploads / held admission —
+                # yield the GIL instead of hot-spinning scheduler ticks
+                if idle_since is None:
+                    idle_since = _time.perf_counter()
+                elif _time.perf_counter() - idle_since > idle_timeout:
+                    raise RuntimeError(
+                        f"serving drain stalled: no dispatchable work for "
+                        f"{idle_timeout:.0f}s "
+                        f"(queue {self.queue.qsize()}, ready "
+                        f"{len(self._ready)}, uploads in flight "
+                        f"{self._pending_uploads()})"
+                    )
                 _time.sleep(0.002)
-            steps += 1
+            else:
+                idle_since = None
+                steps += 1
         return steps

@@ -46,7 +46,8 @@ from aki_tpu.models.quant import quantize_params
 SLOTS = int(os.environ.get("SLOTS", "48"))
 ADMIT = int(os.environ.get("ADMIT", "32"))
 CHUNK = int(os.environ.get("CHUNK", "8"))
-NREQ = int(os.environ.get("NREQ", "96"))
+NREQS = [int(x) for x in os.environ.get("NREQ", "96").split(",")]
+NREQ = max(NREQS)
 NDRAIN = int(os.environ.get("NDRAIN", "3"))
 UPCHUNK = int(os.environ.get("UPCHUNK", "16"))
 TEXT_LEN = 512
@@ -126,29 +127,50 @@ def main():
         h.result(timeout=10)
 
     drain_logs = []
-    for d in range(NDRAIN):
+    plan = [n for n in NREQS for _ in range(NDRAIN)]
+    for d, nr in enumerate(plan):
         eng.dispatch_log.clear()
         eng.completion_log.clear()
         t0 = time.perf_counter()
-        handles = [eng.submit(r, im, max_new_tokens=m) for r, im, m in reqs]
+        handles = [eng.submit(r, im, max_new_tokens=m)
+                   for r, im, m in reqs[:nr]]
         eng.run_until_drained()
-        for h in handles:
-            h.result(timeout=10)
+        missing = []
+        for i, h in enumerate(handles):
+            try:
+                h.result(timeout=10)
+            except Exception:
+                missing.append(i)
+        if missing:
+            # dump engine state: a drained engine with unfulfilled handles
+            # is a scheduler bug — capture everything
+            print(f"drain{d}: {len(missing)} handles EMPTY: {missing[:8]}")
+            for i in missing[:4]:
+                r = handles[i]
+                print(f"  req{i}: tokens {len(r._tokens)}/"
+                      f"{r.max_new_tokens} dispatched {r._dispatched} "
+                      f"in slot_req {r in eng.slot_req} "
+                      f"in ready {r in eng._ready}")
+            print(f"  queue {eng.queue.qsize()} ready {len(eng._ready)} "
+                  f"uploads {eng._pending_uploads()} "
+                  f"pending {len(eng._pending)} "
+                  f"occupied {sum(r is not None for r in eng.slot_req)}")
+            raise SystemExit(1)
         wall = time.perf_counter() - t0
         comp = [c - t0 for c in eng.completion_log]
         # steady-state middle window: completions 25%..75%
-        q1, q3 = NREQ // 4, (3 * NREQ) // 4
+        q1, q3 = nr // 4, (3 * nr) // 4
         mid = (q3 - q1) / (comp[q3] - comp[q1]) if len(comp) >= q3 + 1 else 0
         counts = {}
         for kind, key, _ in eng.dispatch_log:
             counts[(kind, key)] = counts.get((kind, key), 0) + 1
-        drain_logs.append((wall, counts, mid))
-        print(f"drain{d}: {NREQ / wall:5.2f} img/s wall {wall:6.2f}s "
+        drain_logs.append((wall, counts, mid, nr))
+        print(f"drain{d}[n={nr}]: {nr / wall:5.2f} img/s wall {wall:6.2f}s "
               f"mid-window {mid:5.2f} img/s "
               f"dispatches {sorted(counts.items())}", flush=True)
 
     # replay every program key seen in any drain
-    keys = sorted({k for _, c, _ in drain_logs for k in c})
+    keys = sorted({k for _, c, _, _ in drain_logs for k in c})
     dev_ms = {}
     for kind, key in keys:
         dev_ms[(kind, key)] = (measure_decode(eng, key) if kind == "decode"
@@ -157,14 +179,14 @@ def main():
               flush=True)
 
     print("\n== attribution ==")
-    for d, (wall, counts, mid) in enumerate(drain_logs):
+    for d, (wall, counts, mid, nr) in enumerate(drain_logs):
         chip = {}
         for k, n in counts.items():
             chip[k] = n * dev_ms[k]
         chip_s = sum(chip.values()) / 1e3
         dec = sum(v for (kind, _), v in chip.items() if kind == "decode")
         pre = sum(v for (kind, _), v in chip.items() if kind == "prefill")
-        print(f"drain{d}: wall {wall:6.2f}s  chip {chip_s:5.2f}s "
+        print(f"drain{d}[n={nr}]: wall {wall:6.2f}s  chip {chip_s:5.2f}s "
               f"({100 * chip_s / wall:4.1f}% busy: decode {dec / 1e3:.2f}s "
               f"prefill {pre / 1e3:.2f}s)  stall {wall - chip_s:5.2f}s  "
               f"mid-window {mid:5.2f} img/s", flush=True)

@@ -289,3 +289,36 @@ def test_fused_admission_matches_split_insert():
                     np.asarray(xa, np.float32), np.asarray(xb, np.float32),
                     rtol=1e-5, atol=1e-5,
                 )
+
+
+def test_server_drain_does_not_burn_max_steps_while_uploads_pending():
+    """Regression: on a small host the drain loop used to HOT-SPIN while
+    requests sat admission-held in ``_ready`` waiting for the uploader —
+    each empty tick counted against ``max_steps``, so a slow transfer made
+    ``run_until_drained`` burn its whole budget in seconds and silently
+    return with unfulfilled handles (observed on the 1-core bench host).
+    Idle ticks must sleep and must NOT count against max_steps."""
+    import time
+
+    params = init_aki(jax.random.PRNGKey(0), CFG)
+    engine = ServingEngine(params, CFG, num_slots=4, max_len=48,
+                           prompt_bucket=12, policy=F32,
+                           admit_batch=4, admit_policy="batched",
+                           upload_chunk=2)
+    orig_put = engine._put
+
+    def slow_put(x):
+        time.sleep(0.12)   # a slow tunnel transfer
+        return orig_put(x)
+
+    engine._put = slow_put
+    reqs = []
+    for i in range(8):
+        ids, img = make_prompt(np.random.RandomState(300 + i))
+        reqs.append(engine.submit(ids, img, max_new_tokens=3))
+    # before the fix the hot spin exhausted this budget during the first
+    # 120 ms transfer alone; after it, idle ticks sleep and don't count
+    steps = engine.run_until_drained(max_steps=500)
+    for r in reqs:
+        assert r.result(timeout=1) is not None
+    assert steps < 500
