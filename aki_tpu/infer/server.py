@@ -861,6 +861,15 @@ class ServingEngine:
             self.state, toks = self._get_decode(n, live)(
                 self.params, self.state, jnp.array(active), sub
             )
+            # start the D2H copy of this chunk's tokens NOW: by the time
+            # the lag-1 fetch calls np.asarray the bytes are already on the
+            # host, so the fetch pays ~0 instead of a full tunnel
+            # round-trip per chunk (a best-effort hint; np.asarray is the
+            # correctness path either way)
+            try:
+                toks.copy_to_host_async()
+            except Exception:
+                pass
             snapshot = list(self.slot_req)
             for slot, req in enumerate(self.slot_req):
                 if req is not None and active[slot]:

@@ -152,13 +152,16 @@ def main():
         jax.clear_caches()
 
         # drain workload: int8 slots (48 fit where bf16 OOMs at 24) +
-        # batched admission at bs32 (paired drain A/B, exp/server_drain.py
-        # AB=admit: 16 -> 32 is +1.8 img/s mean with far lower variance —
-        # 3 admissions instead of 6, each nearer offline MXU efficiency;
-        # 32 vs 48 is a wash and 48 serializes the drain into two phases.
-        # Greedy bs1-2 refill prefills were the original measured
-        # throughput killer — decode stalls for a near-bs1-cost prefill
-        # every time one slot frees)
+        # batched admission at the FULL slot count (round-5 chip-busy
+        # attribution, exp/server_chipbusy.py ADMITS=32,48 paired at 384
+        # requests: admit32-into-48-slots runs cohort-serial at width 32 —
+        # 52 decode chunks dispatched vs a ~32-chunk minimum — while
+        # admit48 fills every slot: 42 chunks, chip time 20.5 -> 18.8 s,
+        # steady-state mid-window 18.4 -> 19.7 img/s, 3/3 pairs. The
+        # round-4 "48 is a wash" verdict was an artifact of 96-request
+        # ramp-dominated drains. Greedy bs1-2 refill prefills were the
+        # original measured throughput killer — decode stalls for a
+        # near-bs1-cost prefill every time one slot frees)
         # uint8 ingress (image_uint8=True): clients send resized RGB
         # pixels, normalization runs on device — 4x fewer H2D bytes, and
         # the uploader thread hides the transfer behind decode
@@ -179,14 +182,16 @@ def main():
         eng = ServingEngine(
             params, cfg, num_slots=BATCH, max_len=MAX_LEN,
             prompt_bucket=TEXT_LEN,
-            admit_batch=min(32, BATCH), admit_policy="batched",
+            admit_batch=BATCH, admit_policy="batched",
             kv_int8=KV8, image_uint8=True, policy=policy,
             compact_tail=True, upload_chunk=16,
         )
         n_req = 2 * BATCH
+        n_long = 8 * BATCH   # steady-state drain: long enough that the
+        #                      ramp + tail stop owning the number
         rng2 = np.random.RandomState(1)
         reqs = []
-        for i in range(n_req):
+        for i in range(n_long):
             n = int(rng2.randint(TEXT_LEN // 2, TEXT_LEN))
             rid = rng2.randint(5, cfg.initial_tokenizer_len - 1, size=n)
             rid[1] = cfg.media_token_id
@@ -213,7 +218,7 @@ def main():
         for _ in range(7):
             t0 = time.perf_counter()
             handles = [eng.submit(r, im, max_new_tokens=m)
-                       for r, im, m in reqs]
+                       for r, im, m in reqs[:n_req]]
             eng.run_until_drained()
             for h in handles:
                 h.result(timeout=5)
@@ -221,6 +226,21 @@ def main():
         server_img_s = float(np.median(drains))
         server_note = "median of 7 drains: " + "/".join(
             f"{d:.1f}" for d in sorted(drains))
+        # steady-state rate: one LONG drain, completions 25%..75% by the
+        # engine's completion log — a 96-request drain finishes in ~6 s,
+        # the same order as a single tunnel stall, so its wall rate mixes
+        # cold transport into the engine number (round-4 verdict ask)
+        eng.completion_log.clear()
+        handles = [eng.submit(r, im, max_new_tokens=m)
+                   for r, im, m in reqs]
+        eng.run_until_drained()
+        for h in handles:
+            h.result(timeout=5)
+        comp = list(eng.completion_log)
+        q1, q3 = n_long // 4, (3 * n_long) // 4
+        server_steady = (q3 - q1) / (comp[q3] - comp[q1])
+        server_note += (f"; steady-state {server_steady:.1f} img/s "
+                        f"(middle half of one {n_long}-request drain)")
 
     target = A100_BASELINE_IMG_S * TARGET_MULTIPLIER
     print(json.dumps({

@@ -45,6 +45,12 @@ from aki_tpu.models.quant import quantize_params
 
 SLOTS = int(os.environ.get("SLOTS", "48"))
 ADMIT = int(os.environ.get("ADMIT", "32"))
+# paired admit-depth A/B: one engine constructed (and warmed) at the max,
+# then eng.admit_batch toggled per drain — the chip-busy attribution showed
+# admit32-into-48-slots runs cohort-serial at width 32 (52 decode chunks vs
+# a 32-chunk minimum on the 384-request drain), so full-slot cohorts are
+# the candidate fix
+ADMITS = [int(x) for x in os.environ.get("ADMITS", str(ADMIT)).split(",")]
 CHUNK = int(os.environ.get("CHUNK", "8"))
 NREQS = [int(x) for x in os.environ.get("NREQ", "96").split(",")]
 NREQ = max(NREQS)
@@ -100,7 +106,8 @@ def main():
 
     eng = ServingEngine(
         params, cfg, num_slots=SLOTS, max_len=MAX_LEN,
-        prompt_bucket=TEXT_LEN, admit_batch=ADMIT, admit_policy="batched",
+        prompt_bucket=TEXT_LEN, admit_batch=max(ADMITS),
+        admit_policy="batched",
         decode_chunk=CHUNK, kv_int8=True, image_uint8=True, policy=policy,
         compact_tail=True, upload_chunk=UPCHUNK,
     )
@@ -127,8 +134,10 @@ def main():
         h.result(timeout=10)
 
     drain_logs = []
-    plan = [n for n in NREQS for _ in range(NDRAIN)]
-    for d, nr in enumerate(plan):
+    # alternate arms within each repeat so tunnel weather pairs across arms
+    plan = [(n, a) for n in NREQS for _ in range(NDRAIN) for a in ADMITS]
+    for d, (nr, admit) in enumerate(plan):
+        eng.admit_batch = admit   # every size <= max(ADMITS) is warmed
         eng.dispatch_log.clear()
         eng.completion_log.clear()
         t0 = time.perf_counter()
@@ -164,13 +173,13 @@ def main():
         counts = {}
         for kind, key, _ in eng.dispatch_log:
             counts[(kind, key)] = counts.get((kind, key), 0) + 1
-        drain_logs.append((wall, counts, mid, nr))
-        print(f"drain{d}[n={nr}]: {nr / wall:5.2f} img/s wall {wall:6.2f}s "
-              f"mid-window {mid:5.2f} img/s "
+        drain_logs.append((wall, counts, mid, nr, admit))
+        print(f"drain{d}[n={nr} admit={admit}]: {nr / wall:5.2f} img/s "
+              f"wall {wall:6.2f}s mid-window {mid:5.2f} img/s "
               f"dispatches {sorted(counts.items())}", flush=True)
 
     # replay every program key seen in any drain
-    keys = sorted({k for _, c, _, _ in drain_logs for k in c})
+    keys = sorted({k for _, c, _, _, _ in drain_logs for k in c})
     dev_ms = {}
     for kind, key in keys:
         dev_ms[(kind, key)] = (measure_decode(eng, key) if kind == "decode"
@@ -179,14 +188,15 @@ def main():
               flush=True)
 
     print("\n== attribution ==")
-    for d, (wall, counts, mid, nr) in enumerate(drain_logs):
+    for d, (wall, counts, mid, nr, admit) in enumerate(drain_logs):
         chip = {}
         for k, n in counts.items():
             chip[k] = n * dev_ms[k]
         chip_s = sum(chip.values()) / 1e3
         dec = sum(v for (kind, _), v in chip.items() if kind == "decode")
         pre = sum(v for (kind, _), v in chip.items() if kind == "prefill")
-        print(f"drain{d}[n={nr}]: wall {wall:6.2f}s  chip {chip_s:5.2f}s "
+        print(f"drain{d}[n={nr} admit={admit}]: wall {wall:6.2f}s  "
+              f"chip {chip_s:5.2f}s "
               f"({100 * chip_s / wall:4.1f}% busy: decode {dec / 1e3:.2f}s "
               f"prefill {pre / 1e3:.2f}s)  stall {wall - chip_s:5.2f}s  "
               f"mid-window {mid:5.2f} img/s", flush=True)
