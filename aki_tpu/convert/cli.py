@@ -122,8 +122,14 @@ def import_checkpoint(
         state, step=jnp.asarray(int(blob.get("step", 0)), jnp.int32)
     )
     mgr = CheckpointManager(out_dir)
+    # include_frozen: an imported run dir is the distribution artifact —
+    # without the SigLIP tower, every downstream restore (eval/demo
+    # load_params, AKIModel.from_pretrained) would silently serve a
+    # RANDOM vision encoder (the training-checkpoint frozen-subtree drop
+    # is reference parity, but it only works because a training run
+    # restores the tower from its own conversion-time init)
     path = mgr.save(state, epoch=int(blob.get("epoch", 0)),
-                    step=int(blob.get("step", 0)))
+                    step=int(blob.get("step", 0)), include_frozen=True)
     print(f"imported -> {path}")
     return params
 

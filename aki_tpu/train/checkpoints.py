@@ -66,14 +66,28 @@ class CheckpointManager:
         return cks[-1][2] if cks else None
 
     # -- save / restore ------------------------------------------------------
-    def save(self, state: Any, epoch: int, step: int | None = None) -> Path:
+    def save(self, state: Any, epoch: int, step: int | None = None,
+             include_frozen: bool = False) -> Path:
         """Save. **Collective**: on a multi-host mesh every process must
         call this (each host writes its array shards; orbax coordinates
         commit). Callers must NOT gate it on ``process_index() == 0`` —
-        that deadlocks. GC of old checkpoints runs on process 0 only."""
+        that deadlocks. GC of old checkpoints runs on process 0 only.
+
+        ``include_frozen=True`` keeps the frozen subtrees (the SigLIP
+        tower) in the payload. Training checkpoints drop them (reference
+        parity: the vision encoder is filtered out, train_utils.py:376-410,
+        and a training run restores it from its own init) — but an
+        IMPORTED run dir is a distribution artifact whose consumers
+        (eval/demo ``load_params``, ``AKIModel.from_pretrained``) init the
+        tower RANDOMLY, so ``convert.cli.import_checkpoint`` must ship it
+        or every downstream restore silently serves a random vision
+        tower."""
         name = f"checkpoint_{epoch}" + (f"_{step}" if step is not None else "")
         target = self.path / name
-        savable_params, _ = split_frozen(state.params)
+        if include_frozen:
+            savable_params = state.params
+        else:
+            savable_params, _ = split_frozen(state.params)
         payload = {
             "params": savable_params,
             "opt_state": state.opt_state,
@@ -121,6 +135,15 @@ class CheckpointManager:
         # values are topology-free; placement follows the live state).
         raw = ocp.PyTreeCheckpointer().restore(Path(path).absolute())
         merged_params = _merge_lenient(savable_params, raw["params"])
+        # frozen subtrees restore from the checkpoint when it carries them
+        # (imported run dirs, save(include_frozen=True)); training
+        # checkpoints don't, and the live init values stand in
+        frozen = {
+            k: (_merge_lenient(v, raw["params"][k])
+                if isinstance(raw["params"], dict) and k in raw["params"]
+                else v)
+            for k, v in frozen.items()
+        }
         merged_params.update(frozen)
         merged_params = _place_like(state.params, merged_params)
         try:

@@ -95,3 +95,31 @@ def test_restore_without_checkpoint_returns_init(tmp_path):
     mgr = CheckpointManager(str(tmp_path))
     restored, epoch = mgr.restore(state)
     assert restored is state and epoch == 0
+
+
+def test_include_frozen_roundtrip(tmp_path):
+    """An imported run dir (save(include_frozen=True)) must carry the
+    SigLIP tower and restore it VERBATIM — the plain training-checkpoint
+    path drops it, and before round 5 `convert.cli.import_checkpoint`
+    used that path, silently serving a random vision tower to every
+    downstream consumer (eval/demo load_params, AKIModel.from_pretrained).
+    """
+    state, _ = make_state()
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save(state, epoch=0, step=10, include_frozen=True)
+
+    fresh, _ = make_state(seed=1)
+    # sanity: the two inits genuinely differ in the frozen tower
+    assert not np.array_equal(
+        np.asarray(fresh.params["siglip"]["pos_embed"]),
+        np.asarray(state.params["siglip"]["pos_embed"]),
+    )
+    restored, _ = mgr.restore(fresh)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["siglip"]["pos_embed"]),
+        np.asarray(state.params["siglip"]["pos_embed"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["phi3"]["layers"]["wq"]),
+        np.asarray(state.params["phi3"]["layers"]["wq"]),
+    )
