@@ -241,6 +241,73 @@ def main():
         server_steady = (q3 - q1) / (comp[q3] - comp[q1])
         server_note += (f"; steady-state {server_steady:.1f} img/s "
                         f"(middle half of one {n_long}-request drain)")
+        eng.close()
+        eng = None
+
+    # measured TRAINING step (fwd + bwd + global-norm clip + AdamW, remat,
+    # frozen SigLIP, fp32 master params + bf16 compute) at real AKI-4B
+    # widths with the decoder depth truncated — full 32-layer fp32+Adam
+    # state is ~41 GB and cannot fit one 16 GB chip; per-layer cost is
+    # uniform so ms/step extrapolates linearly. exp/train_bench.py is the
+    # standalone harness; thresholds/geometry sweep in PERF.md.
+    train_note = None
+    if os.environ.get("AKI_BENCH_TRAIN", "1") == "1":
+        import dataclasses
+        import gc
+
+        from exp.train_bench import flops_per_step
+        from aki_tpu.train.optim import make_optimizer
+        from aki_tpu.train.step import Batch, TrainState, make_train_step
+
+        params = None
+        jax.clear_caches()
+        gc.collect()
+        depth = int(os.environ.get("AKI_BENCH_TRAIN_DEPTH", "4"))
+        tbs = int(os.environ.get("AKI_BENCH_TRAIN_BS", "8"))
+        tcfg = dataclasses.replace(
+            cfg, phi3=dataclasses.replace(cfg.phi3, num_layers=depth)
+        ) if on_tpu else cfg
+        tpol = Policy()   # fp32 params, bf16 compute (amp_bf16 analogue)
+        p0 = jax.jit(lambda k: init_aki(k, tcfg, dtype=jnp.float32))(
+            jax.random.PRNGKey(0))
+        opt = make_optimizer(p0, learning_rate=2e-5, weight_decay=1e-4,
+                             grad_clip=1.0)
+        tstate = TrainState.create(p0, opt)
+        del p0
+        step_fn = jax.jit(
+            make_train_step(tcfg, opt, policy=tpol, remat=True),
+            donate_argnums=(0,),
+        )
+        t_ids = rng.randint(5, cfg.initial_tokenizer_len - 1,
+                            size=(tbs, TEXT_LEN))
+        t_ids[:, 1] = cfg.media_token_id
+        t_ids[:, 40] = cfg.assistant_token_id
+        t_labels = t_ids.copy()
+        t_labels[:, :41] = -100
+        tbatch = Batch(
+            input_ids=jnp.array(t_ids, jnp.int32),
+            images=jnp.array(
+                rng.randn(tbs, s, s, 3).astype(np.float32)),
+            attn_valid=jnp.ones((tbs, TEXT_LEN), jnp.int32),
+            labels=jnp.array(t_labels, jnp.int32),
+        )
+        tstate, metrics = step_fn(tstate, tbatch)   # compile
+        float(metrics["loss"])
+        nsteps = 10
+        t0 = time.perf_counter()
+        for _ in range(nsteps):
+            tstate, metrics = step_fn(tstate, tbatch)
+        float(metrics["loss"])                       # force completion
+        dt = (time.perf_counter() - t0) / nsteps
+        t_spliced = TEXT_LEN + tcfg.perceiver.num_latents - 1
+        fl, _ = flops_per_step(tcfg, tbs, t_spliced)
+        tfs = fl / dt / 1e12
+        train_note = (
+            f"train step (real widths, depth {tcfg.phi3.num_layers}, "
+            f"bs{tbs}, remat, fp32+AdamW, frozen vision): "
+            f"{dt * 1e3:.0f} ms, {tfs:.1f} TF/s = "
+            f"{100 * tfs / 160:.0f}% of the 160 TF/s bf16 ceiling"
+        )
 
     target = A100_BASELINE_IMG_S * TARGET_MULTIPLIER
     print(json.dumps({
@@ -252,6 +319,7 @@ def main():
             + (f"; server continuous-batching {server_img_s:.1f} img/s "
                f"mixed arrivals ({server_note})"
                if server_img_s else "")
+            + (f"; {train_note}" if train_note else "")
             + ")"
         ),
         "value": round(img_s, 3),
