@@ -40,6 +40,12 @@ H = int(os.environ.get("H", "3072"))
 INTER = int(os.environ.get("INTER", "8192"))
 LAYERS = int(os.environ.get("LAYERS", "24"))
 REPS = int(os.environ.get("REPS", "5"))
+# scan-repeat the full layer pass inside the jit: one (M,H)x(H,INTER)
+# int8 read is only ~0.08 ms at the 327 GB/s ceiling, so a single
+# 24-layer pass (~2 ms device) hides under the ~25 ms tunnel dispatch;
+# INNER passes make the device time dominate (first probe mismeasured
+# the int8 baseline at 23 GB/s for exactly this reason)
+INNER = int(os.environ.get("INNER", "16"))
 
 
 def pack_cols(q4):  # (L, H, INTER) int8 in [-8,7] -> (L, H, INTER//2) uint8
@@ -71,7 +77,22 @@ def time_fn(fn, *args):
         out = fn(*args)
         float(np.asarray(out)[0])
         best = min(best, time.perf_counter() - t0)
-    return best / LAYERS * 1e3
+    return best / (LAYERS * INNER) * 1e3
+
+
+def scanned(layer_pass):
+    """jit(scan(full-layer-pass, length=INNER)) — device time dominates
+    the tunnel dispatch."""
+
+    def run(x, w):
+        def body(acc, _):
+            return acc + layer_pass(x, w), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((M,), jnp.float32), None, length=INNER)
+        return acc
+
+    return jax.jit(run)
 
 
 def main():
@@ -82,16 +103,14 @@ def main():
     pc = jax.jit(pack_cols)(q4)
     pr = jax.jit(pack_rows)(q4)
 
-    @jax.jit
-    def base_int8(x, q8):
+    def _base(x, q8):
         acc = jnp.zeros((M,), jnp.float32)
         for li in range(LAYERS):
             y = x @ q8[li].astype(jnp.bfloat16)
             acc += y[:, 0].astype(jnp.float32)
         return acc
 
-    @jax.jit
-    def two_dot(x, pc):
+    def _two_dot(x, pc):
         acc = jnp.zeros((M,), jnp.float32)
         for li in range(LAYERS):
             ylo = x @ unpack_lo(pc[li]).astype(jnp.bfloat16)
@@ -99,8 +118,7 @@ def main():
             acc += ylo[:, 0].astype(jnp.float32) + yhi[:, 0].astype(jnp.float32)
         return acc
 
-    @jax.jit
-    def row_pack(x, pr):
+    def _row_pack(x, pr):
         xe, xo = x[:, 0::2], x[:, 1::2]
         acc = jnp.zeros((M,), jnp.float32)
         for li in range(LAYERS):
@@ -109,8 +127,7 @@ def main():
             acc += y[:, 0].astype(jnp.float32)
         return acc
 
-    @jax.jit
-    def materialized(x, pc):
+    def _materialized(x, pc):
         acc = jnp.zeros((M,), jnp.float32)
         for li in range(LAYERS):
             w = jnp.concatenate(
@@ -118,6 +135,11 @@ def main():
             y = x @ w.astype(jnp.bfloat16)
             acc += y[:, 0].astype(jnp.float32)
         return acc
+
+    base_int8 = scanned(_base)
+    two_dot = scanned(_two_dot)
+    row_pack = scanned(_row_pack)
+    materialized = scanned(_materialized)
 
     byte8 = H * INTER
     byte4 = byte8 // 2
