@@ -58,6 +58,7 @@ def encode_vision(
     params: Params, cfg: AKIConfig, images: jax.Array,
     policy: Policy = Policy(),
     tp_mesh=None,
+    remat: bool = False,
 ) -> jax.Array:
     """Pixels -> vision tokens. (B, H, W, C) -> (B, n_vis, D_lm), or
     (B, N_img, H, W, C) -> (B, N_img, n_vis, D_lm) for interleaved inputs.
@@ -72,7 +73,8 @@ def encode_vision(
     feats = siglip_forward(params["siglip"], cfg.siglip, images, policy,
                            tp_mesh=tp_mesh)
     feats = jax.lax.stop_gradient(feats)
-    toks = perceiver_forward(params["perceiver"], cfg.perceiver, feats, policy)
+    toks = perceiver_forward(params["perceiver"], cfg.perceiver, feats, policy,
+                             remat=remat)
     if multi:
         toks = toks.reshape((b, n) + toks.shape[1:])
     return toks
@@ -144,7 +146,7 @@ def aki_forward(
     """
     if vision_tokens is None:
         vision_tokens = encode_vision(params, cfg, images, policy,
-                                      tp_mesh=tp_mesh)
+                                      tp_mesh=tp_mesh, remat=remat)
 
     text_embeds = embed_text(params, cfg, input_ids, policy)
     if vision_tokens.ndim == 4:

@@ -61,11 +61,18 @@ def perceiver_forward(
     cfg: PerceiverConfig,
     features: jax.Array,
     policy: Policy = Policy(),
+    remat: bool = False,
 ) -> jax.Array:
     """Resample patch features to ``num_latents`` tokens.
 
     Args:
         features: (B, v, dim) vision encoder outputs.
+        remat: checkpoint each layer under the decoder's dots policy —
+            the f32 (B, H, latents, media) attention logits this scan
+            otherwise saves per layer were the 3rd-largest training
+            buffer (283 MB at 4B bs-12, round-5 OOM dump); the attention
+            einsums are batched dots (not saveable) so they recompute,
+            while the ff dot outputs stay saved.
 
     Returns:
         (B, num_latents, dim_inner) vision tokens.
@@ -108,6 +115,10 @@ def perceiver_forward(
         latents = latents + f @ lp["ff2"]
         return latents, None
 
+    if remat:
+        from .phi3 import _remat_policy
+
+        body = jax.checkpoint(body, policy=_remat_policy())
     latents, _ = jax.lax.scan(body, latents, pp["layers"])
     latents = layernorm(pp["norm"], latents)
     return latents @ pp["proj"]["w"] + pp["proj"]["b"]

@@ -25,6 +25,7 @@ reference's spliced forward (``src/aki.py:125-130``).
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -458,6 +459,40 @@ def _attention_layer(
     return x + mlp, new_cache, aux
 
 
+def _remat_policy():
+    """Per-layer checkpoint policy for the decoder stack.
+
+    ``AKI_REMAT_POLICY``:
+
+    - ``dots`` (default): ``dots_with_no_batch_dims_saveable`` — the
+      fastest backward (nothing big recomputed).
+    - ``dots_nowide``: same, EXCEPT dot outputs whose rhs-free size
+      exceeds 4096 lanes — i.e. the wide MLP gate/up projections
+      ((B, T, inter=8192) each). Saving those two residuals costs ~1 GB
+      at AKI-4B bs-12 depth-4 (the two largest buffers in the round-5
+      OOM dump); recomputing the two wide dots in the backward is ~7%
+      extra decoder FLOPs. The memory/time knob for batch- or
+      depth-bound training geometries.
+    """
+    dots = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if os.environ.get("AKI_REMAT_POLICY", "dots") != "dots_nowide":
+        return dots
+
+    def policy(prim, *args, **params):
+        if not dots(prim, *args, **params):
+            return False
+        if prim is jax.lax.dot_general_p:
+            (_, rhs_c), (_, rhs_b) = params["dimension_numbers"]
+            rhs_free = 1
+            for i, d in enumerate(args[1].shape):
+                if i not in rhs_c and i not in rhs_b:
+                    rhs_free *= d
+            return rhs_free <= 4096
+        return True
+
+    return policy
+
+
 def phi3_forward(
     params: Params,
     cfg: Phi3Config,
@@ -572,10 +607,7 @@ def phi3_forward(
             return (y, aux_sum + aux), None
 
         if remat:
-            body = jax.checkpoint(
-                body,
-                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-            )
+            body = jax.checkpoint(body, policy=_remat_policy())
         (x, aux), _ = jax.lax.scan(
             body, (x, jnp.zeros((), jnp.float32)), layers
         )

@@ -106,7 +106,14 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     # quantize x to bf16 first — pin HIGHEST to keep the permutation exact.
     prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
+    # preferred_element_type follows x.dtype: each output row has exactly
+    # ONE +-1 entry, so no accumulation ever happens and a bf16 dot output
+    # is still BIT-exact (rot elements are +-x values, bf16-representable).
+    # This matters under remat: dots_with_no_batch_dims_saveable keeps this
+    # dot's output as a per-layer residual, and an f32 output doubled the
+    # largest training residual (measured f32[6,8,655,32,96] ~ 0.5 GB at
+    # depth 6 — see exp/train_bench.py / PERF.md round 5).
     rot = jnp.einsum("bthd,de->bthe", x, r,
-                     preferred_element_type=jnp.float32, precision=prec)
+                     preferred_element_type=x.dtype, precision=prec)
     out = x.astype(jnp.float32) * cos + rot * sin
     return out.astype(x.dtype)

@@ -63,6 +63,11 @@ class RunnerConfig:
                                        # offload_params, distributed.py:207)
     pp_microbatches: int | None = None  # pipeline microbatches (mesh.pipe>1)
     moe_aux_weight: float = 0.01       # Switch aux-loss weight (MoE decoder)
+    frozen_bf16: bool = False          # store frozen subtrees (SigLIP) in
+                                       # bf16 — no master copy needed for
+                                       # frozen params; compute bit-identical
+                                       # (optim.cast_frozen_to), frees half
+                                       # the frozen bytes (~0.85 GB at 4B)
 
 
 class Trainer:
@@ -92,6 +97,10 @@ class Trainer:
         params = init_params if init_params is not None else init_aki(
             jax.random.PRNGKey(run_cfg.seed), model_cfg
         )
+        if run_cfg.frozen_bf16:
+            from .optim import cast_frozen_to
+
+            params = cast_frozen_to(params)
         if run_cfg.fsdp_strategy not in ("full", "grad_op"):
             raise ValueError(
                 f"fsdp_strategy must be 'full' or 'grad_op', got "
@@ -173,6 +182,15 @@ class Trainer:
             self.state = dataclasses.replace(
                 restored, step=jnp.zeros((), jnp.int32),
                 opt_state=self.optimizer.init(restored.params),
+            )
+        if run_cfg.frozen_bf16 and run_cfg.training_mode != "scratch":
+            # restore merges by shape, not dtype — a checkpoint carrying
+            # fp32 frozen leaves (imported run dirs save the SigLIP tower
+            # fp32) would silently undo the bf16 storage on resume
+            from .optim import cast_frozen_to
+
+            self.state = dataclasses.replace(
+                self.state, params=cast_frozen_to(self.state.params)
             )
 
         self.step_fn = jax.jit(

@@ -61,6 +61,7 @@ def main(argv=None):
         host_offload_params=tc.get("host_offload_params", False),
         pp_microbatches=tc.get("pp_microbatches"),
         moe_aux_weight=tc.get("moe_aux_weight", 0.01),
+        frozen_bf16=tc.get("frozen_bf16", False),
     )
     trainer = Trainer(model_cfg, run_cfg)
 

@@ -263,13 +263,24 @@ def main():
         jax.clear_caches()
         gc.collect()
         depth = int(os.environ.get("AKI_BENCH_TRAIN_DEPTH", "4"))
-        tbs = int(os.environ.get("AKI_BENCH_TRAIN_BS", "8"))
+        tbs = int(os.environ.get("AKI_BENCH_TRAIN_BS", "16"))
+        # round-5 train-memory levers (PERF.md): bf16-stored frozen SigLIP
+        # (bit-identical compute, no master copy for frozen subtrees) +
+        # the dots_nowide remat policy (recompute the two wide MLP dots in
+        # the backward instead of saving ~1 GB of (B,T,8192) residuals) +
+        # perceiver-layer remat (drops the saved f32 attention logits).
+        # Together they move the largest fitting geometry from bs8
+        # (109.2 TF/s) to bs16 (116.7 TF/s billed = 73% of ceiling).
+        os.environ.setdefault("AKI_REMAT_POLICY", "dots_nowide")
         tcfg = dataclasses.replace(
             cfg, phi3=dataclasses.replace(cfg.phi3, num_layers=depth)
         ) if on_tpu else cfg
         tpol = Policy()   # fp32 params, bf16 compute (amp_bf16 analogue)
+        from aki_tpu.train.optim import cast_frozen_to
+
         p0 = jax.jit(lambda k: init_aki(k, tcfg, dtype=jnp.float32))(
             jax.random.PRNGKey(0))
+        p0 = jax.jit(cast_frozen_to)(p0)
         opt = make_optimizer(p0, learning_rate=2e-5, weight_decay=1e-4,
                              grad_clip=1.0)
         tstate = TrainState.create(p0, opt)

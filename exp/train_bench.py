@@ -21,7 +21,10 @@ convention, no causal discount), LM head 6*B*T*h*V, perceiver 6*P_perc,
 vision 2*P_vis*729*B (fwd only — frozen). MFU = FLOPs / (ms * 160 TF/s).
 
 PYTHONPATH=/root/repo:/root/.axon_site python exp/train_bench.py
-Knobs: DEPTH=4 BS=8 TEXT=512 STEPS=10 REMAT=1 OFFLOAD=0
+Knobs: DEPTH=4 BS=8 TEXT=512 STEPS=10 REMAT=1 OFFLOAD=0 FROZEN_BF16=1
+plus AKI_REMAT_POLICY=dots|dots_nowide (models/phi3.py:_remat_policy).
+Round-5 geometry sweep + the three memory levers that moved bs8 -> bs16
+(104.2 -> 116.7 TF/s): PERF.md "measured TRAINING step" section.
 """
 import dataclasses
 import os
@@ -43,6 +46,9 @@ TEXT = int(os.environ.get("TEXT", "512"))
 STEPS = int(os.environ.get("STEPS", "10"))
 REMAT = os.environ.get("REMAT", "1") == "1"
 OFFLOAD = os.environ.get("OFFLOAD", "0") == "1"
+# frozen SigLIP stored bf16 (no master copy for frozen subtrees — compute
+# is bit-identical, see optim.cast_frozen_to). Default on.
+FROZEN_BF16 = os.environ.get("FROZEN_BF16", "1") == "1"
 VISION_DEPTH = int(os.environ.get("VISION_DEPTH", "0"))  # 0 = real 27
 
 
@@ -93,6 +99,10 @@ def main():
 
     params = jax.jit(lambda k: init_aki(k, cfg, dtype=jnp.float32))(
         jax.random.PRNGKey(0))
+    if FROZEN_BF16:
+        from aki_tpu.train.optim import cast_frozen_to
+
+        params = jax.jit(cast_frozen_to)(params)
     n_param = sum(x.size for x in jax.tree.leaves(params))
     n_frozen = sum(x.size for x in jax.tree.leaves(params["siglip"]))
     print(f"depth {DEPTH} bs {BS}: params {n_param / 1e9:.2f}B "

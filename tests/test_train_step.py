@@ -244,3 +244,52 @@ def test_host_offload_step_runs_or_unsupported():
         assert np.isfinite(float(m["loss"]))
     except Exception as e:  # noqa: BLE001 — CPU backends may lack the kind
         assert "pinned_host" in str(e) or "memory" in str(e).lower(), e
+
+
+def test_frozen_bf16_storage_bit_identical_loss():
+    """cast_frozen_to: bf16-stored frozen SigLIP gives a BIT-identical loss
+    under bf16 compute (fp32 master -> bf16 cast per step == bf16 stored
+    once), while freeing half the frozen bytes. Round-5 train-memory lever
+    (PERF.md): depth-4 bs-12 went from OOM to fitting."""
+    from aki_tpu.models.common import Policy
+    from aki_tpu.train.optim import cast_frozen_to
+
+    params = init_aki(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    cast = cast_frozen_to(params)
+    # frozen subtree is bf16, trainable subtrees keep fp32 masters
+    assert all(a.dtype == jnp.bfloat16
+               for a in jax.tree.leaves(cast["siglip"])
+               if jnp.issubdtype(a.dtype, jnp.floating))
+    assert all(a.dtype == jnp.float32
+               for a in jax.tree.leaves(cast["phi3"])
+               if jnp.issubdtype(a.dtype, jnp.floating))
+
+    rng = np.random.RandomState(0)
+    batch = make_batch(rng, b=2)
+    bf16 = Policy()  # fp32 params, bf16 compute
+    opt = make_optimizer(params, learning_rate=1e-3)
+    step = jax.jit(make_train_step(CFG, opt, policy=bf16, use_flash=False))
+    _, m_fp32 = step(TrainState.create(params, opt), batch)
+    _, m_bf16 = step(TrainState.create(cast, opt), batch)
+    assert float(m_fp32["loss"]) == float(m_bf16["loss"])
+
+
+def test_remat_nowide_policy_identical_loss(monkeypatch):
+    """AKI_REMAT_POLICY=dots_nowide is a memory/time knob ONLY — the saved
+    vs recomputed split must not change a single bit of the loss."""
+    from aki_tpu.models import phi3 as phi3_mod
+
+    params = init_aki(jax.random.PRNGKey(0), CFG)
+    opt = make_optimizer(params, learning_rate=1e-3)
+    rng = np.random.RandomState(0)
+    batch = make_batch(rng, b=2)
+
+    losses = {}
+    for mode in ("dots", "dots_nowide"):
+        monkeypatch.setenv("AKI_REMAT_POLICY", mode)
+        step = jax.jit(
+            make_train_step(CFG, opt, policy=F32, remat=True,
+                            use_flash=False))
+        _, m = step(TrainState.create(params, opt), batch)
+        losses[mode] = float(m["loss"])
+    assert losses["dots"] == losses["dots_nowide"], losses
