@@ -42,6 +42,11 @@ class RunnerConfig:
     lr_schedule: str = "cosine"
     grad_clip: float = 1.0
     grad_accum: int = 1
+    accum_unroll: bool = False         # unroll the accumulation loop: the
+                                       # lax.scan form double-buffers the
+                                       # carried f32 grad tree (+2.9 GB at
+                                       # AKI-4B); unrolling single-buffers
+                                       # it at grad_accum-x compile time
     precision: str = "bf16"            # "bf16" (amp_bf16) | "fp32"
     remat: bool = True
     checkpoint_steps: int = 1000
@@ -197,6 +202,7 @@ class Trainer:
             make_train_step(
                 model_cfg, self.optimizer, policy=self.policy,
                 remat=run_cfg.remat, grad_accum=run_cfg.grad_accum,
+                accum_unroll=run_cfg.accum_unroll,
                 order=run_cfg.order, host_offload=run_cfg.host_offload,
                 sp_mesh=sp_mesh, pp_mesh=pp_mesh,
                 pp_microbatches=run_cfg.pp_microbatches,

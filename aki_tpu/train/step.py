@@ -24,6 +24,7 @@ import optax
 from ..models.aki import aki_forward
 from ..models.common import Policy
 from ..models.configs import AKIConfig
+from .optim import is_frozen_path, path_mask
 
 
 @jax.tree_util.register_dataclass
@@ -112,6 +113,8 @@ def make_train_step(
     ep_mesh=None,
     grad_shardings=None,
     param_shardings=None,
+    frozen_predicate: Callable[[str], bool] = is_frozen_path,
+    accum_unroll: bool = False,
 ) -> Callable[[TrainState, Batch], tuple[TrainState, dict]]:
     """Build the (un-jitted) train step; jit with donate_argnums=(0,).
 
@@ -141,21 +144,58 @@ def make_train_step(
         if grad_accum == 1:
             return grad_fn(params, batch)
 
-        def acc(carry, micro):
-            loss_sum, grads_sum = carry
-            l, g = grad_fn(params, micro)
-            return (
-                loss_sum + l,
-                jax.tree.map(jnp.add, grads_sum, g),
-            ), None
+        # Frozen subtrees (stop_gradient'd in the forward, aki.py:75) have
+        # structurally-zero grads — carrying full-size f32 zeros for them
+        # through the accumulation wastes HBM for the whole step (1.65 GB
+        # at AKI-4B: the difference between the accumulated bs8-micro step
+        # fitting and OOMing by 529 MB). Accumulate trainable leaves only;
+        # rebuild the frozen leaves as broadcast zeros at the end.
+        # frozen_predicate must match the optimizer's (defaults agree).
+        frozen = path_mask(params, frozen_predicate)
 
-        zero = jax.tree.map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), params
+        if accum_unroll:
+            # Unrolled accumulation: a lax.scan double-buffers the carried
+            # f32 grad tree across the while-loop boundary (measured: two
+            # AllocateBuffer copies of every trainable grad leaf, +2.9 GB
+            # at AKI-4B depth-4, 48% HLO-temp fragmentation on top — the
+            # scan form OOMs where the unrolled form fits). Unrolling lets
+            # the scheduler single-buffer the accumulator; compile time
+            # scales with grad_accum, so this is the small-factor option.
+            loss = jnp.zeros((), jnp.float32)
+            grads = jax.tree.map(
+                lambda fz, p: jnp.zeros(() if fz else p.shape, jnp.float32),
+                frozen, params,
+            )
+            for i in range(grad_accum):
+                micro = jax.tree.map(lambda x: x[i], batch)
+                l, g = grad_fn(params, micro)
+                loss = loss + l
+                grads = jax.tree.map(
+                    lambda fz, s, gi: s if fz else s + gi, frozen, grads, g
+                )
+        else:
+            def acc(carry, micro):
+                loss_sum, grads_sum = carry
+                l, g = grad_fn(params, micro)
+                return (
+                    loss_sum + l,
+                    jax.tree.map(lambda fz, s, gi: s if fz else s + gi,
+                                 frozen, grads_sum, g),
+                ), None
+
+            zero = jax.tree.map(
+                lambda fz, p: jnp.zeros(() if fz else p.shape, jnp.float32),
+                frozen, params,
+            )
+            (loss, grads), _ = jax.lax.scan(
+                acc, (jnp.zeros((), jnp.float32), zero), batch
+            )
+        grads = jax.tree.map(
+            lambda fz, p, g: jnp.zeros(p.shape, jnp.float32) if fz
+            else g / grad_accum,
+            frozen, params, grads,
         )
-        (loss, grads), _ = jax.lax.scan(
-            acc, (jnp.zeros((), jnp.float32), zero), batch
-        )
-        return loss / grad_accum, jax.tree.map(lambda g: g / grad_accum, grads)
+        return loss / grad_accum, grads
 
     def train_step(state: TrainState, batch):
         if isinstance(batch, tuple):

@@ -49,6 +49,13 @@ OFFLOAD = os.environ.get("OFFLOAD", "0") == "1"
 # frozen SigLIP stored bf16 (no master copy for frozen subtrees — compute
 # is bit-identical, see optim.cast_frozen_to). Default on.
 FROZEN_BF16 = os.environ.get("FROZEN_BF16", "1") == "1"
+# gradient accumulation microbatches (one jitted step consumes ACCUM
+# microbatches of BS each — the production large-effective-batch shape).
+# ACCUM_UNROLL=1 unrolls the accumulation loop instead of lax.scan: the
+# scan double-buffers the carried f32 grad tree (+2.9 GB at AKI-4B) and
+# OOMs at depth-4 bs8 where the unrolled form fits (see step.py).
+ACCUM = int(os.environ.get("ACCUM", "1"))
+ACCUM_UNROLL = os.environ.get("ACCUM_UNROLL", "1") == "1"
 VISION_DEPTH = int(os.environ.get("VISION_DEPTH", "0"))  # 0 = real 27
 
 
@@ -116,21 +123,30 @@ def main():
     del params
     step_fn = jax.jit(
         make_train_step(cfg, opt, policy=policy, remat=REMAT,
-                        host_offload=OFFLOAD),
+                        host_offload=OFFLOAD, grad_accum=ACCUM,
+                        accum_unroll=ACCUM_UNROLL and ACCUM > 1),
         donate_argnums=(0,),
     )
 
     rng = np.random.RandomState(0)
-    ids = rng.randint(5, cfg.initial_tokenizer_len - 1, size=(BS, TEXT))
+    nb = BS * ACCUM
+    ids = rng.randint(5, cfg.initial_tokenizer_len - 1, size=(nb, TEXT))
     ids[:, 1] = cfg.media_token_id
     ids[:, 40] = cfg.assistant_token_id
     labels = ids.copy()
     labels[:, :41] = -100   # prompt-masked SFT labels
     s = cfg.siglip.image_size
+    imgs = rng.randn(nb, s, s, 3).astype(np.float32)
+    valid = np.ones((nb, TEXT), np.int32)
+    if ACCUM > 1:   # stack microbatches on the leading scan axis
+        ids = ids.reshape(ACCUM, BS, TEXT)
+        labels = labels.reshape(ACCUM, BS, TEXT)
+        valid = valid.reshape(ACCUM, BS, TEXT)
+        imgs = imgs.reshape(ACCUM, BS, s, s, 3)
     batch = Batch(
         input_ids=jnp.array(ids, jnp.int32),
-        images=jnp.array(rng.randn(BS, s, s, 3), jnp.float32),
-        attn_valid=jnp.ones((BS, TEXT), jnp.int32),
+        images=jnp.array(imgs),
+        attn_valid=jnp.array(valid),
         labels=jnp.array(labels, jnp.int32),
     )
 
@@ -146,6 +162,8 @@ def main():
     lossN = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / STEPS
     fl, parts = flops_per_step(cfg, BS, t_spliced)
+    fl *= ACCUM
+    parts = {k: v * ACCUM for k, v in parts.items()}
     tfs = fl / dt / 1e12
     print(f"train step: {dt * 1e3:7.1f} ms | {fl / 1e12:.2f} TF/step "
           f"(dec {parts['dec'] / 1e12:.2f} attn {parts['attn'] / 1e12:.2f} "

@@ -124,11 +124,21 @@ def test_grad_accum_matches_big_batch():
                                     grad_accum=2))
     s2, m2 = step2(s2, micro)
 
+    # unrolled accumulation (the HBM-tight variant — the scan form
+    # double-buffers the carried grad tree, see step.py) must match too
+    s3 = TrainState.create(params, opt)
+    step3 = jax.jit(make_train_step(CFG, opt, policy=F32, use_flash=False,
+                                    grad_accum=2, accum_unroll=True))
+    s3, m3 = step3(s3, micro)
+
     # each microbatch has uniform token counts -> mean-of-means == mean
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["loss"]), float(m3["loss"]), rtol=1e-5)
     a = np.asarray(s1.params["phi3"]["layers"]["wq"])
     b = np.asarray(s2.params["phi3"]["layers"]["wq"])
+    c = np.asarray(s3.params["phi3"]["layers"]["wq"])
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-6)
 
 
 def test_schedules():
