@@ -113,7 +113,12 @@ def init_distributed() -> None:
         )
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
+def batch_sharding(mesh: Mesh, stacked: bool = False) -> NamedSharding:
+    """Sharding for a batch array. ``stacked=True`` is the grad-accum
+    layout: a leading microbatch axis stays replicated, the batch axis
+    (now axis 1) shards over the data axes."""
+    if stacked:
+        return NamedSharding(mesh, PartitionSpec(None, BATCH_AXES))
     return NamedSharding(mesh, PartitionSpec(BATCH_AXES))
 
 

@@ -227,7 +227,9 @@ class Trainer:
 
             self.step_fn = offloaded_step
         self.metrics = MetricsLogger(run_cfg.run_dir, is_main=self.is_main)
-        self._bsharding = batch_sharding(self.mesh)
+        self._bsharding = batch_sharding(
+            self.mesh, stacked=run_cfg.grad_accum > 1
+        )
 
     def put_batch(self, np_batch) -> Batch:
         if isinstance(np_batch, tuple):
@@ -242,20 +244,61 @@ class Trainer:
         )
         batch = jax.device_put(batch, self._bsharding)
         if lw != 1.0:
-            # scalar multiplier replicates (can't ride the batch axes)
+            # scalar multiplier replicates (can't ride the batch axes).
+            # Under grad accumulation the batch tree is lax.scan xs, so
+            # every leaf needs the leading microbatch axis — broadcast the
+            # (per-dataset-constant) multiplier to (grad_accum,).
             from ..parallel.mesh import replicated
 
+            w = jnp.asarray(lw, jnp.float32)
+            if self.cfg.grad_accum > 1:
+                w = jnp.full((self.cfg.grad_accum,), w)
             batch = dataclasses.replace(
                 batch,
-                loss_weight=jax.device_put(
-                    jnp.asarray(lw, jnp.float32), replicated(self.mesh)
-                ),
+                loss_weight=jax.device_put(w, replicated(self.mesh)),
             )
         return batch
 
+    @staticmethod
+    def _stack_micro(group):
+        """Stack ``grad_accum`` consecutive loader batches into ONE tree
+        with a leading microbatch axis — the layout
+        ``make_train_step(grad_accum=n)`` scans/unrolls over. Multi-dataset
+        tuples stack per element; the per-dataset ``loss_weight`` is a
+        constant, so the first batch's value stands for the group."""
+        import numpy as np
+
+        if isinstance(group[0], tuple):
+            return tuple(
+                Trainer._stack_micro([g[i] for g in group])
+                for i in range(len(group[0]))
+            )
+        return Batch(
+            input_ids=np.stack([b.input_ids for b in group]),
+            images=np.stack([b.images for b in group]),
+            attn_valid=np.stack([b.attn_valid for b in group]),
+            labels=np.stack([b.labels for b in group]),
+            loss_weight=getattr(group[0], "loss_weight", None),
+        )
+
     def run_epoch(self, batch_iter: Iterator, epoch: int) -> int:
-        """Run one epoch; returns global step. Stops at total_steps."""
+        """Run one epoch; returns global step. Stops at total_steps.
+
+        With ``grad_accum > 1`` the loop consumes that many consecutive
+        loader batches per optimizer step (reference semantics: the
+        accumulation factor multiplies data consumed, not batch size); a
+        trailing partial group is dropped like a partial batch would be.
+        """
         cfg = self.cfg
+        if cfg.grad_accum > 1:
+            def grouped(it=batch_iter, n=cfg.grad_accum):
+                buf = []
+                for b in it:
+                    buf.append(b)
+                    if len(buf) == n:
+                        yield self._stack_micro(buf)
+                        buf = []
+            batch_iter = grouped()
         step_time = AverageMeter()
         data_time = AverageMeter()
         t_end = time.perf_counter()

@@ -48,6 +48,7 @@ def main(argv=None):
         total_steps=tc.get("total_training_steps", 50000),
         lr_schedule=tc.get("lr_scheduler_type", "cosine"),
         grad_accum=tc.get("gradient_accumulation_steps", 1),
+        accum_unroll=tc.get("accum_unroll", False),
         precision=tc.get("precision", "bf16"),
         remat=tc.get("gradient_checkpointing", True),
         checkpoint_steps=tc.get("checkpoint_steps", 1000),

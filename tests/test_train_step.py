@@ -141,6 +141,27 @@ def test_grad_accum_matches_big_batch():
     np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-6)
 
 
+def test_runner_grad_accum_groups_loader_batches(tmp_path):
+    """grad_accum>1 consumes that many consecutive loader batches per
+    optimizer step (runner-side stacking — the YAML
+    gradient_accumulation_steps knob's contract)."""
+    from aki_tpu.train.runner import RunnerConfig, Trainer
+
+    from aki_tpu.parallel.mesh import MeshConfig as MC
+
+    rc = RunnerConfig(run_dir=str(tmp_path / "r"), grad_accum=2,
+                      precision="fp32", total_steps=10, log_every=1,
+                      checkpoint_steps=1000,
+                      mesh=MC(data=2, fsdp=2, tensor=2))
+    tr = Trainer(CFG, rc)
+    rng = np.random.RandomState(0)
+    batches = [make_batch(rng, b=4, t=12) for _ in range(5)]
+    step = tr.run_epoch(iter(batches), epoch=0)
+    # 5 loader batches -> 2 accum-2 steps; the trailing partial drops
+    assert step == 2
+    tr.metrics.close()
+
+
 def test_schedules():
     sch = cosine_min_lr(1e-3, 1e-5, warmup_steps=10, total_steps=110)
     assert float(sch(0)) == 0.0
