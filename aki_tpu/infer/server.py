@@ -237,11 +237,16 @@ class ServingEngine:
         # (block_until_ready doesn't block), so attribution replays each
         # compiled program amortized and multiplies by these counts
         # (exp/server_chipbusy.py).
-        self.dispatch_log: list = []
+        # bounded: a long-running server must not leak accounting state —
+        # 1<<16 entries cover hours of dispatches; attribution harnesses
+        # clear() per drain so the window never truncates a measurement
+        from collections import deque
+
+        self.dispatch_log: deque = deque(maxlen=1 << 16)
         # per-request completion wall timestamps (host accounting time):
         # lets a long drain report its steady-state middle-window rate,
         # excluding the cold ramp and the occupancy tail
-        self.completion_log: list = []
+        self.completion_log: deque = deque(maxlen=1 << 16)
 
         # donate the slot state: the fused admission prefill updates it
         # in place (argnums count from the bound method's params arg)
